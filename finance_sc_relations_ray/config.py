@@ -1,0 +1,63 @@
+"""Pipeline constants.
+
+Every threshold mirrors the reference's published constants so that the
+rebuilt semantics match (see BASELINE.md):
+
+- group threshold 0.95      (reference src/language_model/spacy_loader.py:54)
+- alias similarity 0.8      (reference src/language_model/spacy_loader.py:194)
+- within-doc cluster 0.96   (reference src/relation_extraction/reporter.py:287)
+- link match 0.95 / candidate 0.80, prefix_len 2, top_k 5
+                            (reference src/sagemaker/re_inference.py:128-138)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class KGConfig:
+    # similarity thresholds (reference-identical)
+    group_threshold: float = 0.95
+    alias_sim_threshold: float = 0.8
+    cluster_threshold: float = 0.96
+    link_match_threshold: float = 0.95
+    link_cand_threshold: float = 0.80
+    prefix_len: int = 2
+    top_k: int = 5
+
+    # pair enumeration
+    num_positions: int = 4  # cap position-variants per pair (reference default
+    # is unbounded, src/relation_extraction/infer.py:230; a cap bounds the
+    # flat_map fan-out at scale — tests use inf for oracle parity)
+
+    # labels (reference src/relation_extraction/infer.py:24)
+    main_relations: tuple[str, ...] = ("supplier", "customer")
+    labels: tuple[str, ...] = ("supplier", "customer", "other")
+    canonical_pred: str = "supplies_to"
+
+    # SC gate
+    sc_threshold: float = 0.5
+
+    # execution sizing (autoscaling actor pools (min, max) so a stage
+    # never deadlocks a small cluster nor starves the others; see
+    # SURVEY.md §4)
+    ner_batch_size: int = 256
+    ner_concurrency: tuple[int, int] = (1, 8)
+    re_batch_size: int = 256
+    re_concurrency: tuple[int, int] = (1, 8)
+    link_batch_size: int = 1024
+    sc_concurrency: tuple[int, int] = (1, 4)
+    link_concurrency: tuple[int, int] = (1, 2)
+    # fractional CPU per stub actor: keeps the sum of actor-pool minimums
+    # below the node's CPU count so task-pool operators (read, shuffle,
+    # write) are never starved — a real GPU model would set num_gpus
+    # instead and this stays small
+    actor_num_cpus: float = 0.5
+    # salted-shuffle fan for the hot-key dedup/canonicalize shuffles
+    dedup_salt: int = 16
+
+
+INVERSE_RELATION = {"supplier": "customer", "customer": "supplier", "other": "other"}
+
+DEFAULT_CONFIG = KGConfig()

@@ -1,0 +1,90 @@
+"""Text-analysis scalar/vector functions for the documents pipeline.
+
+These power the large-scale training-data operators (sentencize,
+token counting, quality scoring, language-ID, fingerprinting) and are
+deliberately specified with RE2-compatible regexes so the DuckDB oracle
+SQL in ``__ray_entry__.oracle_sql`` can express the exact same
+computation (driver correctness gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# Sentence split: maximal runs of non-terminators followed by optional
+# terminators. RE2-safe (no lookbehind); DuckDB equivalent:
+#   regexp_extract_all(text, '[^.!?]+[.!?]*')
+_SENT_RE = re.compile(r"[^.!?]+[.!?]*")
+_TOKEN_RE = re.compile(r"\S+")
+_PUNCT_CLASS_RE = re.compile(r"[.,;:!?]")
+
+# Tiny per-language stopword alternations (word-boundary, lowercase).
+LANG_PATTERNS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|for|with|that)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|für)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que)\b",
+}
+_LANG_RES = {k: re.compile(v) for k, v in LANG_PATTERNS.items()}
+
+
+def sentencize(text: str) -> list[str]:
+    """Non-empty stripped sentences, in order."""
+    return [s for s in (m.strip() for m in _SENT_RE.findall(text)) if s]
+
+
+def token_count(text: str) -> int:
+    """Whitespace-token count (``\\S+`` matches)."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def quality_metrics(text: str) -> dict[str, float]:
+    """Simple quality signals: char/token counts, mean token length,
+    punctuation ratio."""
+    n_chars = len(text)
+    tokens = _TOKEN_RE.findall(text)
+    n_tokens = len(tokens)
+    n_punct = len(_PUNCT_CLASS_RE.findall(text))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": round(sum(map(len, tokens)) / n_tokens, 6) if n_tokens else 0.0,
+        "punct_ratio": round(n_punct / n_chars, 6) if n_chars else 0.0,
+    }
+
+
+def lang_scores(text: str) -> dict[str, int]:
+    low = text.lower()
+    return {k: len(r.findall(low)) for k, r in _LANG_RES.items()}
+
+
+def lang_id(text: str) -> str:
+    """Stopword-count argmax over {en, de, fr}; ties favor the order
+    en > de > fr; all-zero → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best_lang, best = "und", 0
+    for lang in ("en", "de", "fr"):
+        if scores[lang] > best:
+            best_lang, best = lang, scores[lang]
+    return best_lang
+
+
+def fingerprint(text: str) -> str:
+    """Document fingerprint: md5 hex of the raw text bytes (DuckDB:
+    ``md5(text)``)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def shingles(text: str, n: int = 3) -> set[str]:
+    """Word n-gram shingles over lowercase whitespace tokens."""
+    toks = [t.lower() for t in _TOKEN_RE.findall(text)]
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

@@ -1,0 +1,344 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame
+whose columns match the DuckDB oracle SQL in ``__ray_entry__`` exactly
+(names AND rounded values). These exercise the engine's generic
+operators from SURVEY.md §2 on neutral inputs: column-pruned reads,
+vectorized filters/projections (M13/M14), partial-then-final aggregation
+(A3/A4), broadcast hash joins (J2/J4), anti joins (J5), distinct (A7),
+sort/limit top-k (O3), and tumbling-window rollups (§2.10 analog).
+
+Scale notes: every groupby here uses the per-batch combiner pattern
+(map_batches partial → small final groupby) or aggregates on bounded
+keys; small join sides are broadcast via ``ray.put`` once, never
+re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+# ---------------------------------------------------------------- q1 ---
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped rollup with per-batch partial aggregation."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        if batch.num_rows == 0:
+            return pa.table(
+                {"l_returnflag": pa.array([], pa.string()),
+                 "l_linestatus": pa.array([], pa.string()),
+                 "sum_qty": pa.array([], pa.float64()),
+                 "sum_base_price": pa.array([], pa.float64()),
+                 "sum_disc_price": pa.array([], pa.float64()),
+                 "count_order": pa.array([], pa.int64())}
+            )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        df = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        ).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------ top-k revenue ---
+def top_revenue_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-order revenue (partial agg) + broadcast join to orders +
+    global top-k (sort+limit)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        df = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    # broadcast the small orders columns once
+    import pyarrow.parquet as pq
+
+    orders_tbl = pq.read_table(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    orders_ref = ray.put(orders_tbl)
+
+    class JoinOrders:
+        def __init__(self):
+            t = ray.get(orders_ref)
+            self.lookup = {
+                k: (c, d)
+                for k, c, d in zip(
+                    t["o_orderkey"].to_pylist(),
+                    t["o_custkey"].to_pylist(),
+                    t["o_orderdate"].to_pylist(),
+                )
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["l_orderkey"].to_pylist()
+            cust = [self.lookup[k][0] for k in keys]
+            dates = [self.lookup[k][1] for k in keys]
+            return batch.append_column(
+                "o_custkey", pa.array(cust, pa.int64())
+            ).append_column("o_orderdate", pa.array(dates, pa.timestamp("us")))
+
+    joined = per_order.map_batches(JoinOrders, batch_format="pyarrow", concurrency=(1, 2))
+    top = joined.sort("revenue", descending=True).limit(k).to_pandas()
+    top["revenue"] = top["revenue"].round(2)
+    return top[["l_orderkey", "o_custkey", "o_orderdate", "revenue"]]
+
+
+# ------------------------------------------- segment order statistics ---
+def segment_order_stats(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer (broadcast) → per-mktsegment rollup."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    class AddSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in batch["o_custkey"].to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(AddSegment, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_totalprice"),
+        )
+        .to_pandas()
+    )
+    out["avg_totalprice"] = (out["sum_totalprice"] / out["n_orders"]).round(6)
+    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# -------------------------------------------------- supplier revenue ----
+def nation_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ supplier ⋈ nation (two broadcast lookups) → revenue by
+    nation."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    sup_ref = ray.put(dict(zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())))
+    nat_ref = ray.put(dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())))
+
+    class NationRev:
+        def __init__(self):
+            self.sup = ray.get(sup_ref)
+            self.nat = ray.get(nat_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            ).to_numpy(zero_copy_only=False)
+            names = [
+                self.nat[self.sup[k]] for k in batch["l_suppkey"].to_pylist()
+            ]
+            df = pd.DataFrame({"n_name": names, "revenue": rev})
+            g = df.groupby("n_name", as_index=False)["revenue"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(NationRev, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# -------------------------------------------------------- anti join -----
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti semi-join via broadcast key set (J5 pattern)."""
+    import pyarrow.parquet as pq
+
+    custkeys = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey"])
+    have_ref = ray.put(set(custkeys["o_custkey"].to_pylist()))
+
+    class AntiJoin:
+        def __init__(self):
+            self.have = ray.get(have_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [k not in self.have for k in batch["c_custkey"].to_pylist()]
+            )
+            return batch.filter(mask)
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+# --------------------------------------------------------- distinct -----
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    vals = sorted(
+        _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    )
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+# ------------------------------------------------- filter + project -----
+def returned_items_revenue(sf_dir: str) -> pd.DataFrame:
+    """Row-level vectorized filter + computed projection (M13/M14)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.round(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            ),
+            2,
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+
+
+# ------------------------------------------------- tumbling windows -----
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per event_type (streaming-shaped rollup,
+    SURVEY.md §2.10 / ray_guide 'Streaming-shaped workloads'):
+    partial per-batch combine then a small final groupby."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------- sessionization ----
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Per-user sessionization (gap > 30min starts a new session) via
+    groupby(user).map_groups over ts-sorted groups — the
+    actor-state-free windowing pattern. Returns per-user session
+    counts + max session length."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().reset_index(drop=True)
+        new = (ts.diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
+        sizes = new.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(new.nunique())],
+                "max_session_events": [int(sizes.max())],
+                "n_events": [len(ts)],
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

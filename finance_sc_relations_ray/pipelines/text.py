@@ -1,0 +1,296 @@
+"""Training-data text operators over the ``documents`` table:
+cleaning, sentencizing, token counting, quality scoring, language-ID,
+fingerprinting, exact + near deduplication.
+
+Every SQL-expressible operator mirrors a DuckDB oracle in
+``__ray_entry__.oracle_sql`` (names + rounding match exactly); the
+MinHash/SimHash near-dup operators are non-SQL and get rows-only checks
+plus their own pytest oracles (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions import textops
+from ..functions.clean import clean_array
+
+
+def _read(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# ----------------------------------------------------------- clean ------
+def clean_documents(sf_dir: str) -> "ray.data.Dataset":
+    """M1 byte-identity clean applied to documents.text."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "clean_text": clean_array(batch["text"])}
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- sentencize -----
+def sentencize_documents(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        ids, sids, sents = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for i, s in enumerate(textops.sentencize(text)):
+                ids.append(doc_id)
+                sids.append(i)
+                sents.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sent_id": pa.array(sids, pa.int64()),
+                "sent": pa.array(sents, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ token counts ----
+def token_counts(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        n = [textops.token_count(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- quality scoring ---
+def doc_quality(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        rows = [textops.quality_metrics(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+                "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+                "mean_token_len": pa.array(
+                    [r["mean_token_len"] for r in rows], pa.float64()
+                ),
+                "punct_ratio": pa.array(
+                    [r["punct_ratio"] for r in rows], pa.float64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- lang id ----
+def lang_id_documents(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        preds = [textops.lang_id(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- fingerprint ----
+def fingerprint_documents(sf_dir: str) -> "ray.data.Dataset":
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [textops.fingerprint(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())}
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- exact dedup ----
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: hash-partitioned groupby(text_hash) keeping the
+    smallest doc_id + duplicate count (A7 pattern with the per-batch
+    combiner from stages/shuffle.py)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            h = textops.fingerprint(text)
+            cur = agg.get(h)
+            if cur is None:
+                agg[h] = [doc_id, 1]
+            else:
+                cur[0] = min(cur[0], doc_id)
+                cur[1] += 1
+        return pa.table(
+            {
+                "text_hash": pa.array(list(agg.keys()), pa.string()),
+                "doc_id": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "n_dups": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("doc_id", alias_name="doc_id"), Sum("n_dups", alias_name="n_dups")
+        )
+        .to_pandas()
+    )
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+# ----------------------------------------------------- MinHash + LSH ----
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sig(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    sh = textops.shingles(text, 3)
+    if not sh:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    hv = np.array(
+        [zlib.crc32(s.encode("utf-8")) for s in sorted(sh)], dtype=np.uint64
+    )
+    # (a*h + b) mod p, broadcast perms × shingles
+    vals = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHashActor:
+    """Stateful minhash signer: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """doc rows → (band_id, band_hash, doc_id) rows for LSH
+        bucketing."""
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sig = _minhash_sig(text, self.a, self.b)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                h = zlib.crc32(chunk.tobytes())
+                doc_ids.append(doc_id)
+                band_ids.append(band)
+                band_hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+            }
+        )
+
+
+def minhash_dup_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidate pairs, verified with exact word-
+    3-gram Jaccard (shingle → minhash → band → bucket groupby →
+    verify; the ray_guide near-dup recipe). Returns verified pairs
+    (doc_id_a < doc_id_b) with their Jaccard."""
+    docs = _read(sf_dir, ["doc_id", "text"])
+    bands_ds = docs.map_batches(
+        MinHashActor,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
+
+    cand = (
+        bands_ds.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {"doc_id_a": pd.Series([], dtype="int64"),
+             "doc_id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    cand = cand.drop_duplicates().astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+    # verify with exact shingle Jaccard; candidate set is small, texts
+    # fetched via a broadcast of only the needed docs
+    import pyarrow.parquet as pq
+
+    need = sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"]))
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    tmap = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    sh = {d: textops.shingles(tmap[d], 3) for d in need}
+    jac = [
+        textops.jaccard(sh[a], sh[b])
+        for a, b in zip(cand["doc_id_a"], cand["doc_id_b"])
+    ]
+    cand["jaccard"] = np.round(jac, 6)
+    out = cand[cand["jaccard"] >= jaccard_threshold]
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------- SimHash -----
+def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
+    """64-bit SimHash over word features (crc32-hashed tokens)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch["text"].to_pylist():
+            toks = [t.lower() for t in text.split()]
+            acc = np.zeros(bits, dtype=np.int64)
+            for t in toks:
+                h = zlib.crc32(t.encode("utf-8")) | (
+                    zlib.crc32(t[::-1].encode("utf-8")) << 32
+                )
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            val = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    val |= 1 << i
+            out.append(np.int64(np.uint64(val).astype(np.int64)))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,77 @@
+"""Single-process oracle for the KG pipeline.
+
+Computes the expected triples for a pages table with plain Python/pandas
+— document by document, no Ray — by driving the same per-record
+semantic functions the stages use, composed sequentially exactly as the
+reference composes them (infer_from_trained.predict_relations →
+process_relations; see SURVEY.md §3.1/§3.3). The e2e test compares the
+distributed pipeline's output (actor pools, shuffles, salted dedup)
+against this oracle — it verifies the DISTRIBUTED COMPOSITION;
+per-function parity with the reference is covered by the unit tests in
+tests/.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from finance_sc_relations_ray.config import DEFAULT_CONFIG, KGConfig
+from finance_sc_relations_ray.stages import extract, ner, scoring
+from finance_sc_relations_ray.stages.doc_agg import aggregate_doc
+from finance_sc_relations_ray.stages.link import PrefixIndex
+from finance_sc_relations_ray.gazetteer import company_db_table
+
+
+def expected_triples(
+    pages: pa.Table, config: KGConfig = DEFAULT_CONFIG
+) -> pd.DataFrame:
+    """pages table → deduplicated (subj, pred, obj, score, n_mentions)."""
+    ner_actor = ner.NerActor(config)
+    sc_actor = scoring.ScGateActor(config)
+    re_actor = scoring.ReScorerActor(config)
+    index = PrefixIndex(company_db_table(), config.prefix_len)
+
+    triples: dict[tuple[str, str, str], list] = {}
+    for page in pages.to_pylist():
+        if page["lang"] != "en":
+            continue
+        url = page["url"]
+        text = extract.extract_text(page["html"])
+        sent_t = extract.sentencize_batch(
+            pa.table({"url": [url], "page_text": [text]})
+        )
+        if sent_t.num_rows == 0:
+            continue
+        scored_sent = sc_actor(ner_actor(sent_t))
+        gated = scoring.gate_filter(scored_sent)
+        pairs = scoring.enumerate_pairs_batch(gated, config.num_positions)
+        if pairs.num_rows == 0:
+            continue
+        scored_pairs = re_actor(pairs)
+        doc_rel = aggregate_doc(scored_pairs.to_pandas(), config)
+        for _, row in doc_rel.iterrows():
+            if row["relation"] not in config.main_relations:
+                continue
+            if row["relation"] == "supplier":
+                subj, obj = row["company"], row["reporter"]
+            else:
+                subj, obj = row["reporter"], row["company"]
+            key = (subj, config.canonical_pred, obj)
+            cur = triples.get(key)
+            if cur is None:
+                triples[key] = [float(row["score"]), 1]
+            else:
+                cur[0] = max(cur[0], float(row["score"]))
+                cur[1] += 1
+
+    rows = [
+        {"subj": k[0], "pred": k[1], "obj": k[2],
+         "score": round(v[0], 4), "n_mentions": v[1]}
+        for k, v in triples.items()
+    ]
+    return (
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "score", "n_mentions"])
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )

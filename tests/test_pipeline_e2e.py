@@ -1,0 +1,44 @@
+"""End-to-end: distributed Ray Data pipeline == single-process oracle,
+exactly (stronger than the P/R ≥ 0.95 target)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
+from finance_sc_relations_ray.sources.pages import generate_pages
+from oracle.kg_oracle import expected_triples
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    path = str(d / "pages.parquet")
+    pq.write_table(generate_pages(list(range(120))), path)
+    return path
+
+
+def test_kg_pipeline_matches_oracle(pages_path):
+    ds = build_kg_pipeline(pages_path, num_partitions=4)
+    got = (
+        ds.to_pandas()
+        .astype({"score": "float64"})
+        .round({"score": 4})
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    exp = expected_triples(pq.read_table(pages_path))
+    assert sorted(got.columns) == sorted(exp.columns)
+    got = got[exp.columns]
+    assert len(got) == len(exp), (len(got), len(exp))
+    for col in exp.columns:
+        assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_kg_pipeline_deterministic_across_runs(pages_path):
+    a = build_kg_pipeline(pages_path).to_pandas().sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+    b = build_kg_pipeline(pages_path).to_pandas().sort_values(
+        ["subj", "pred", "obj"]
+    ).reset_index(drop=True)
+    assert a.equals(b)

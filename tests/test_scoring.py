@@ -1,0 +1,114 @@
+"""SC gate + rule RE scorer semantics, incl. the reverse-direction
+consistency property (reference src/stages/evaluate.py:131-160:
+predicting on tag-swapped input must yield the inverse label)."""
+
+import pyarrow as pa
+
+from finance_sc_relations_ray.functions.tagging import inverse_relations
+from finance_sc_relations_ray.stages.scoring import (
+    LABELS,
+    ReScorerActor,
+    RuleReScorer,
+    ScGateActor,
+    enumerate_pairs_batch,
+    gate_filter,
+)
+from finance_sc_relations_ray.stages.ner import NerActor
+
+
+def _label(scores):
+    return LABELS[max(range(3), key=lambda i: scores[i])]
+
+
+def test_rule_scorer_supplier_direction():
+    m = RuleReScorer()
+    t = "[E1] Apple Inc [/E1] supplied parts to [E2] Dell Technologies [/E2]."
+    assert _label(m.score(t)) == "customer"  # e2 (Dell) is the customer
+    t2 = "[E2] Apple Inc [/E2] supplied parts to [E1] Dell Technologies [/E1]."
+    assert _label(m.score(t2)) == "supplier"
+
+
+def test_rule_scorer_customer_listing():
+    m = RuleReScorer()
+    t = (
+        "In addition, five customers, including [E2] Walmart Inc [/E2] and "
+        "Target Corporation, accounted for approximately 95% of the net revenue "
+        "attributable to [E1] Apple Inc [/E1] Segment."
+    )
+    assert _label(m.score(t)) == "customer"
+    # both entities on the customer side → other
+    t2 = (
+        "In addition, five customers, including [E2] Walmart Inc [/E2] and "
+        "[E1] Target Corporation [/E1], accounted for approximately 95% of the "
+        "net revenue attributable to Apple Inc Segment."
+    )
+    assert _label(m.score(t2)) == "other"
+
+
+def test_reverse_direction_consistency():
+    """label(inverse(sent)) == inverse(label(sent)) for the stub — the
+    property the reference's direction-consistency report checks."""
+    m = RuleReScorer()
+    t = "[E1] Apple Inc [/E1] supplied parts to [E2] Dell Technologies [/E2]."
+    fwd = _label(m.score(t))
+    rev = _label(m.score(inverse_relations(t)))
+    inv = {"supplier": "customer", "customer": "supplier", "other": "other"}
+    assert rev == inv[fwd]
+
+
+def test_reverse_ensemble_stable():
+    """With a direction-consistent model the R3 ensemble must not change
+    the argmax."""
+    plain = ReScorerActor(reverse=False)
+    ens = ReScorerActor(reverse=True)
+    batch = pa.table(
+        {
+            "tagged": [
+                "[E1] Apple Inc [/E1] supplied parts to [E2] Dell Technologies [/E2].",
+                "[E2] Apple Inc [/E2] supplied parts to [E1] Dell Technologies [/E1].",
+            ]
+        }
+    )
+    s1 = plain(batch)["scores"].to_pylist()
+    s2 = ens(batch)["scores"].to_pylist()
+    for a, b in zip(s1, s2):
+        assert _label(a) == _label(b)
+
+
+def test_sc_gate_and_filter():
+    actor = ScGateActor()
+    batch = pa.table(
+        {
+            "sent": [
+                "Apple Inc supplied parts to Dell Technologies.",
+                "Apple Inc acquired Dell Technologies in March 2019.",
+            ],
+            "num_orgs": pa.array([2, 2], type=pa.int32()),
+        }
+    )
+    out = actor(batch)
+    labels = out["supply_label"].to_pylist()
+    assert labels == [1, 0]
+    kept = gate_filter(out)
+    assert kept.num_rows == 1
+
+
+def test_pair_enumeration_r_ids():
+    ner_out = NerActor()(
+        pa.table(
+            {
+                "url": ["u"],
+                "sent_id": [3],
+                "sent": [
+                    "Apple Inc, Dell Technologies and Jabil Inc supplied "
+                    "components to Walmart Inc."
+                ],
+            }
+        )
+    )
+    pairs = enumerate_pairs_batch(ner_out)
+    rows = pairs.to_pylist()
+    # C(4,2) = 6 pairs, one position variant each
+    assert len({r["r_id"] for r in rows}) == 6
+    assert all(r["r_id"].startswith("3_") for r in rows)
+    assert all("[E1]" in r["tagged"] and "[E2]" in r["tagged"] for r in rows)
