@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (nor in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG pipeline on pages synthesized
+  deterministically from /root/testdata/sf0.001 (the testdata carries
+  no pages table; synthesis is seeded per doc_id — FIXTURES.md §1).
+- ``queries()``: one entry per implemented operator family from
+  SURVEY.md §2 (+ the training-data operators: dedup, similarity
+  search, text analysis, multimodal plumbing).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query, with matching column names and rounding. KG-pipeline and
+  sketch-based operators (MinHash/SimHash/LSH) are non-SQL-expressible
+  → rows-only checks; their semantics are covered by the pytest oracle
+  (tests/test_pipeline_e2e.py, tests/test_dedup.py).
 """
 
 from __future__ import annotations
@@ -18,27 +21,274 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+_WS = " \t\n\r" + chr(11) + chr(12)  # python str.strip() whitespace set
+
+
+def _pages(sf_dir: str) -> str:
+    from finance_sc_relations_ray.sources.pages import pages_parquet_for
+
+    return pages_parquet_for(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-derived pages; returns the triples
+    Dataset (≥0 rows, stable schema)."""
+    from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
+
+    return build_kg_pipeline(_pages(SF0001), num_partitions=4)
 
 
+# --------------------------------------------------------------------- #
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from finance_sc_relations_ray.pipelines import relational as R
+    from finance_sc_relations_ray.pipelines import similarity as S
+    from finance_sc_relations_ray.pipelines import text as T
+    from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
+    from finance_sc_relations_ray.stages.multimodal import (
+        DecodeStubActor,
+        binary_meta_batch,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def kg_triples(sf_dir: str):
+        return build_kg_pipeline(_pages(sf_dir), num_partitions=8)
+
+    def kg_doc_relations(sf_dir: str):
+        return build_kg_pipeline(_pages(sf_dir), dedup=False, num_partitions=8)
+
+    def pages_binary_meta(sf_dir: str):
+        import ray.data
+
+        return ray.data.read_parquet(
+            _pages(sf_dir), columns=["url", "html"]
+        ).map_batches(binary_meta_batch, batch_format="pyarrow")
+
+    def pages_decode_stub(sf_dir: str):
+        import ray.data
+
+        return ray.data.read_parquet(
+            _pages(sf_dir), columns=["url", "html"]
+        ).map_batches(
+            DecodeStubActor,
+            batch_format="pyarrow",
+            batch_size=64,  # small batches: wide binary rows
+            concurrency=(1, 2),
+            num_cpus=0.5,
+        )
+
+    return {
+        # relational operator suite (SURVEY.md §2.5-2.7 on neutral tables)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "top_revenue_orders": R.top_revenue_orders,
+        "segment_order_stats": R.segment_order_stats,
+        "nation_supplier_revenue": R.nation_supplier_revenue,
+        "customers_without_orders": R.customers_without_orders,
+        "distinct_segments": R.distinct_segments,
+        "returned_items_revenue": R.returned_items_revenue,
+        "events_hourly": R.events_hourly,
+        "user_sessions": R.user_sessions,
+        # text / training-data operators over documents
+        "clean_documents": T.clean_documents,
+        "sentencize_documents": T.sentencize_documents,
+        "token_counts": T.token_counts,
+        "doc_quality": T.doc_quality,
+        "lang_id_documents": T.lang_id_documents,
+        "fingerprint_documents": T.fingerprint_documents,
+        "dedup_exact": T.dedup_exact,
+        "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
+        "simhash_documents": T.simhash_documents,  # non-SQL (sketch)
+        # similarity search over embeddings
+        "knn_cosine": S.knn_cosine,
+        "lsh_bucketed_knn": S.lsh_bucketed_knn,  # non-SQL (approximate)
+        # KG pipeline (pages synthesized from documents; non-SQL)
+        "kg_triples": kg_triples,
+        "kg_doc_relations": kg_doc_relations,
+        # multimodal binary-column plumbing (non-SQL)
+        "pages_binary_meta": pages_binary_meta,
+        "pages_decode_stub": pages_decode_stub,
+    }
 
 
+# --------------------------------------------------------------------- #
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ws = _WS.replace("'", "''")
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                        AS sum_qty,
+                   round(sum(l_extendedprice), 2)                   AS sum_base_price,
+                   round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 6)             AS avg_qty,
+                   count(*)                                         AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))
+                           AS revenue
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT r.l_orderkey, o.o_custkey, o.o_orderdate,
+                   round(r.revenue, 2)::DOUBLE AS revenue
+            FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+            ORDER BY r.revenue DESC, r.l_orderkey
+            LIMIT 10
+        """,
+        "segment_order_stats": """
+            SELECT c.c_mktsegment,
+                   count(*)                                    AS n_orders,
+                   round(sum(o.o_totalprice), 2)               AS sum_totalprice,
+                   round(sum(o.o_totalprice) / count(*), 6)    AS avg_totalprice
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "nation_supplier_revenue": """
+            SELECT n.n_name,
+                   round(sum((l.l_extendedprice * (1 - l.l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "returned_items_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   round((l_extendedprice * (1 - l_discount))::DECIMAL(18,4), 2)::DOUBLE AS revenue
+            FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts)     AS window_start,
+                   count(*)                   AS n_events,
+                   round(sum(value), 4)       AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "user_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM marked
+            ), counts AS (
+                SELECT user_id, sess_id, count(*) AS n
+                FROM sess GROUP BY user_id, sess_id
+            )
+            SELECT user_id,
+                   count(*)  AS n_sessions,
+                   max(n)    AS max_session_events,
+                   sum(n)    AS n_events
+            FROM counts GROUP BY user_id
+        """,
+        "clean_documents": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(text, '[-\\[\\] ]+', ' ', 'g'), '{ws}')
+                       AS clean_text
+            FROM documents
+        """,
+        "sentencize_documents": f"""
+            WITH l AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       unnest(list_zip(sents, range(len(sents)))) AS p
+                FROM l
+            ), e AS (
+                SELECT doc_id, trim(p[1], '{ws}') AS sent, p[2] AS i
+                FROM z
+            )
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                       AS sent_id,
+                   sent
+            FROM e WHERE sent <> ''
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(text, '\S+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(toks)    AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN round(list_sum(list_transform(toks, x -> length(x)))
+                                   / len(toks)::DOUBLE, 6)
+                        ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN length(text) > 0
+                        THEN round(len(regexp_extract_all(text, '[.,;:!?]'))
+                                   / length(text)::DOUBLE, 6)
+                        ELSE 0.0 END AS punct_ratio
+            FROM t
+        """,
+        "lang_id_documents": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|in|is|for|with|that)\b')) AS en,
+                       len(regexp_extract_all(lower(text),
+                           '\b(der|die|das|und|ist|nicht|ein|mit|auf)\b')) AS de,
+                       len(regexp_extract_all(lower(text),
+                           '\b(le|la|les|et|est|une|pour|dans|que)\b')) AS fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN fr > en AND fr > de THEN 'fr'
+                        WHEN de > en              THEN 'de'
+                        WHEN en > 0               THEN 'en'
+                        ELSE 'und' END AS lang_pred
+            FROM c
+        """,
+        "fingerprint_documents": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS doc_id,
+                   count(*)    AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "knn_cosine": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+                           AS cosine
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ), r AS (
+                SELECT query_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+            FROM r WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+- ``python bench.py``: run the headline pipelines over ``$GRAFT_SF_DIR``
+  (default /root/testdata/sf0.1) at ``$RAY_GRAFT_CPUS`` (default 32) and
+  print ONE JSON line:
+  ``{"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+  "sf": ..., "num_cpus": N, "docs_per_sec": ...}``.
+- ``python bench.py --scaling``: run the headline KG pipeline twice in
+  FRESH processes (num_cpus=8 then 32) on the same input and report both
+  throughputs + scaling efficiency (the north rule's two-cluster-size
+  criterion, evidenced at two parallelism levels in this sandbox).
+
+Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "top_revenue_orders",
+    "nation_supplier_revenue",
+    "events_hourly",
+    "dedup_exact",
+    "minhash_dup_pairs",
+    "knn_cosine",
+    "token_counts",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = _sf_dir()
+    ncpu = _num_cpus()
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entry
+    from finance_sc_relations_ray.sources.pages import pages_parquet_for
+
+    # headline: KG construction docs/sec over synthesized pages
+    pages_path = pages_parquet_for(sf_dir)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(pages_path).num_rows
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
+
+    t0 = time.perf_counter()
+    triples = build_kg_pipeline(pages_path, num_partitions=max(8, ncpu)).count()
+    kg_sec = time.perf_counter() - t0
+
+    qs = entry.queries()
+    timings: dict[str, float] = {"kg_pipeline": round(kg_sec, 3)}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()  # consume lazy Datasets
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "kg_construction_e2e",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_docs": int(n_docs),
+        "n_triples": int(triples),
+        "docs_per_sec": round(n_docs / kg_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "kg_scaling_efficiency",
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": results[8]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["docs_per_sec"],
+        "speedup": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": _sf_dir(),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -22,7 +22,7 @@ _PUNCT_CLASS_RE = re.compile(r"[.,;:!?]")
 # Tiny per-language stopword alternations (word-boundary, lowercase).
 LANG_PATTERNS: dict[str, str] = {
     "en": r"\b(the|and|of|to|in|is|for|with|that)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|für)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|auf)\b",
     "fr": r"\b(le|la|les|et|est|une|pour|dans|que)\b",
 }
 _LANG_RES = {k: re.compile(v) for k, v in LANG_PATTERNS.items()}

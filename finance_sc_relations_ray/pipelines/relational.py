@@ -26,6 +26,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.rounding import round_half_away
+
 
 def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -55,25 +57,33 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
                  "l_linestatus": pa.array([], pa.string()),
                  "sum_qty": pa.array([], pa.float64()),
                  "sum_base_price": pa.array([], pa.float64()),
-                 "sum_disc_price": pa.array([], pa.float64()),
+                 "sum_disc4": pa.array([], pa.int64()),
                  "count_order": pa.array([], pa.int64())}
             )
-        disc_price = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
-        )
+        # disc_price is an exact 4-decimal quantity (2-dec price × 2-dec
+        # discount): accumulate in int64 1e-4 units so the sum is EXACT
+        # and rounding can never straddle a half-cent differently than
+        # the DECIMAL-summing SQL oracle
+        disc4 = np.rint(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            ).to_numpy(zero_copy_only=False)
+            * 10000.0
+        ).astype(np.int64)
         df = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
                 "l_quantity": batch["l_quantity"],
                 "l_extendedprice": batch["l_extendedprice"],
-                "disc_price": disc_price,
+                "disc4": pa.array(disc4, pa.int64()),
             }
         ).to_pandas()
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
             sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            sum_disc4=("disc4", "sum"),
             count_order=("l_quantity", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -84,14 +94,17 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc4", alias_name="sum_disc4"),
             Sum("count_order", alias_name="count_order"),
         )
         .to_pandas()
     )
-    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(6)
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        out[c] = out[c].round(2)
+    out["avg_qty"] = round_half_away(out["sum_qty"] / out["count_order"], 6)
+    # exact integer half-away rounding of the 1e-4-unit sum
+    out["sum_disc_price"] = ((out["sum_disc4"] + 50) // 100) / 100.0
+    out = out.drop(columns=["sum_disc4"])
+    for c in ("sum_qty", "sum_base_price"):
+        out[c] = round_half_away(out[c], 2)
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -102,17 +115,23 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        rev4 = np.rint(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            ).to_numpy(zero_copy_only=False)
+            * 10000.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_orderkey": batch["l_orderkey"].to_numpy(), "rev4": rev4}
         )
-        df = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev}).to_pandas()
-        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        g = df.groupby("l_orderkey", as_index=False)["rev4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     per_order = (
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("rev4", alias_name="rev4"))
     )
     # broadcast the small orders columns once
     import pyarrow.parquet as pq
@@ -142,9 +161,16 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
                 "o_custkey", pa.array(cust, pa.int64())
             ).append_column("o_orderdate", pa.array(dates, pa.timestamp("us")))
 
-    joined = per_order.map_batches(JoinOrders, batch_format="pyarrow", concurrency=(1, 2))
-    top = joined.sort("revenue", descending=True).limit(k).to_pandas()
-    top["revenue"] = top["revenue"].round(2)
+    joined = per_order.map_batches(
+        JoinOrders, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
+    )
+    # deterministic top-k: tie-break equal revenues by orderkey
+    top = (
+        joined.sort(["rev4", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["revenue"] = ((top["rev4"] + 50) // 100) / 100.0
     return top[["l_orderkey", "o_custkey", "o_orderdate", "revenue"]]
 
 
@@ -174,8 +200,8 @@ def segment_order_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    out["avg_totalprice"] = (out["sum_totalprice"] / out["n_orders"]).round(6)
-    out["sum_totalprice"] = out["sum_totalprice"].round(2)
+    out["avg_totalprice"] = round_half_away(out["sum_totalprice"] / out["n_orders"], 6)
+    out["sum_totalprice"] = round_half_away(out["sum_totalprice"], 2)
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -196,25 +222,29 @@ def nation_supplier_revenue(sf_dir: str) -> pd.DataFrame:
             self.nat = ray.get(nat_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            rev = pc.multiply(
-                batch["l_extendedprice"],
-                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-            ).to_numpy(zero_copy_only=False)
+            rev4 = np.rint(
+                pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ).to_numpy(zero_copy_only=False)
+                * 10000.0
+            ).astype(np.int64)
             names = [
                 self.nat[self.sup[k]] for k in batch["l_suppkey"].to_pylist()
             ]
-            df = pd.DataFrame({"n_name": names, "revenue": rev})
-            g = df.groupby("n_name", as_index=False)["revenue"].sum()
+            df = pd.DataFrame({"n_name": names, "rev4": rev4})
+            g = df.groupby("n_name", as_index=False)["rev4"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
         _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(NationRev, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("rev4", alias_name="rev4"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = ((out["rev4"] + 50) // 100) / 100.0
+    out = out.drop(columns=["rev4"])
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -238,9 +268,14 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(AntiJoin, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5)
         .to_pandas()
     )
+    if out.empty:  # fully-filtered Dataset can lose its schema in to_pandas
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"),
+             "c_name": pd.Series([], dtype="object")}
+        )
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -263,13 +298,14 @@ def returned_items_revenue(sf_dir: str) -> pd.DataFrame:
 
     def fp(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
-        rev = pc.round(
+        rev4 = np.rint(
             pc.multiply(
                 batch["l_extendedprice"],
                 pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-            ),
-            2,
-        )
+            ).to_numpy(zero_copy_only=False)
+            * 10000.0
+        ).astype(np.int64)
+        rev = pa.array(((rev4 + 50) // 100) / 100.0)
         return pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
@@ -310,7 +346,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    out["sum_value"] = out["sum_value"].round(4)
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 

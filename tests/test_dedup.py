@@ -1,0 +1,97 @@
+"""Near-dup (MinHash+LSH) and similarity-search operators, checked on
+planted fixtures with known ground truth."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from finance_sc_relations_ray.functions import textops
+from finance_sc_relations_ray.pipelines.similarity import knn_cosine, lsh_bucketed_knn
+from finance_sc_relations_ray.pipelines.text import (
+    dedup_exact,
+    minhash_dup_pairs,
+    simhash_documents,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """documents.parquet with: 0/1 exact dups, 2/3 near dups (one word
+    changed), 4.. unrelated."""
+    d = tmp_path_factory.mktemp("planted")
+    texts = [
+        BASE,                                   # 0
+        BASE,                                   # 1 exact dup of 0
+        BASE + "extra tail sentence here",      # 2
+        BASE + "extra tail sentence there",     # 3 near dup of 2
+        "completely different content about quarterly earnings reports "
+        "and financial statements of corporations " * 3,  # 4
+        "yet another unrelated document discussing weather patterns and "
+        "climate models across the hemisphere " * 3,      # 5
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_planted(planted_dir):
+    out = dedup_exact(planted_dir)
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    dup_row = out[out["n_dups"] == 2]
+    assert len(dup_row) == 1 and dup_row.iloc[0]["doc_id"] == 0
+
+
+def test_minhash_finds_planted_near_dups(planted_dir):
+    pairs = minhash_dup_pairs(planted_dir, jaccard_threshold=0.5)
+    got = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+    assert (0, 1) in got  # exact dup
+    assert (2, 3) in got  # near dup
+    # unrelated docs never pair with the BASE family
+    assert not any(4 in p or 5 in p for p in got)
+    # reported jaccard matches the exact shingle jaccard
+    row = pairs[(pairs["doc_id_a"] == 2) & (pairs["doc_id_b"] == 3)].iloc[0]
+    exact = textops.jaccard(
+        textops.shingles(BASE + "extra tail sentence here", 3),
+        textops.shingles(BASE + "extra tail sentence there", 3),
+    )
+    assert abs(row["jaccard"] - exact) < 1e-6
+
+
+def test_simhash_near_dups_close(planted_dir):
+    out = simhash_documents(planted_dir).to_pandas().set_index("doc_id")["simhash"]
+    def hamming(a, b):
+        return bin(np.uint64(a) ^ np.uint64(b)).count("1")
+    assert hamming(out[0], out[1]) == 0          # exact dup
+    assert hamming(out[2], out[3]) <= 8          # near dup → close
+    assert hamming(out[0], out[4]) > 10          # unrelated → far
+
+
+def test_lsh_knn_recall_vs_exact():
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf, n_queries=8, k=5)
+    approx = lsh_bucketed_knn(sf, n_queries=8, k=5, n_planes=4)
+    # approximate results are a subset of the same scoring space and
+    # must agree with exact cosine wherever they overlap
+    e = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id): r.cosine for r in approx.itertuples()}
+    overlap = set(e) & set(a)
+    assert all(abs(e[k] - a[k]) < 1e-9 for k in overlap)
+    # recall of top-5 with 4 hyperplanes should be nonzero on 500 vecs
+    recall = len(overlap) / len(e)
+    assert recall > 0.1, recall
