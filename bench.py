@@ -63,7 +63,10 @@ def run_bench() -> dict:
     from finance_sc_relations_ray.sources.pages import pages_parquet_for
 
     # headline: KG construction docs/sec over synthesized pages
-    pages_path = pages_parquet_for(sf_dir)
+    # (FIXTURES.md §1 bench scale: 20k pages regardless of the small
+    # documents table; deterministic seed 42)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "20000"))
+    pages_path = pages_parquet_for(sf_dir, n_pages=n_pages)
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(pages_path).num_rows
@@ -72,10 +75,13 @@ def run_bench() -> dict:
         while f.read(1 << 24):
             pass
 
+    from finance_sc_relations_ray.config import scaled_config
     from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
 
     t0 = time.perf_counter()
-    triples = build_kg_pipeline(pages_path, num_partitions=max(8, ncpu)).count()
+    triples = build_kg_pipeline(
+        pages_path, config=scaled_config(ncpu), num_partitions=max(8, ncpu)
+    ).count()
     kg_sec = time.perf_counter() - t0
 
     qs = entry.queries()
@@ -104,8 +110,12 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     results = {}
+    # larger input for the scaling runs: fixed costs (actor-pool spawn,
+    # read, shuffle barriers) must be small relative to compute or the
+    # efficiency measures startup, not scaling
+    pages = os.environ.get("GRAFT_BENCH_PAGES", "50000")
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES=pages)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

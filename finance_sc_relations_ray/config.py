@@ -61,3 +61,16 @@ class KGConfig:
 INVERSE_RELATION = {"supplier": "customer", "customer": "supplier", "other": "other"}
 
 DEFAULT_CONFIG = KGConfig()
+
+
+def scaled_config(num_cpus: int) -> KGConfig:
+    """Size the actor pools to a node's CPU count: the NER and RE pools
+    (the heavy model stages) may autoscale up to ~the CPU count, the
+    light gate/link pools to a fraction, with fractional CPU
+    reservations keeping headroom for the task-pool stages."""
+    return KGConfig(
+        ner_concurrency=(1, max(4, num_cpus)),
+        re_concurrency=(1, max(4, num_cpus)),
+        sc_concurrency=(1, max(2, num_cpus // 4)),
+        link_concurrency=(1, max(2, num_cpus // 8)),
+    )

@@ -58,12 +58,23 @@ def _trigrams(s: str) -> list[str]:
     return [padded[i : i + 3] for i in range(len(padded) - 2)]
 
 
+_ENC_CACHE: dict[tuple[str, int], np.ndarray] = {}
+_ENC_CACHE_MAX = 200_000
+
+
 def encode_name(name: str, dim: int = EMB_DIM) -> np.ndarray:
     """Deterministic unit-norm embedding of one name (float32).
 
     Case-insensitive, whitespace-collapsed character trigrams hashed by
     crc32 (stable across processes/PYTHONHASHSEED) into ``dim`` buckets.
+    Memoized per worker (company names repeat massively across docs —
+    the same reason the reference encodes unique names once per call,
+    spacy_loader.py:262-274).
     """
+    key = (name, dim)
+    hit = _ENC_CACHE.get(key)
+    if hit is not None:
+        return hit
     s = " ".join(name.lower().split())
     v = np.zeros(dim, dtype=np.float32)
     for g in _trigrams(s):
@@ -71,6 +82,8 @@ def encode_name(name: str, dim: int = EMB_DIM) -> np.ndarray:
     n = float(np.linalg.norm(v))
     if n > 0:
         v /= n
+    if len(_ENC_CACHE) < _ENC_CACHE_MAX:
+        _ENC_CACHE[key] = v
     return v
 
 

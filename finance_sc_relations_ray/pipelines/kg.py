@@ -31,16 +31,23 @@ import ray.data
 from ..config import DEFAULT_CONFIG, KGConfig
 from ..gazetteer import company_db_table
 from ..stages import extract, ner, scoring
-from ..stages.doc_agg import DOC_RELATIONS_SCHEMA, aggregate_doc
+from ..stages.doc_agg import DOC_RELATIONS_SCHEMA, aggregate_bucket
 from ..stages.link import LinkActor
 from ..stages.shuffle import salted_dedup
 from ..stages.triples import to_triples_batch
 
 
-def read_pages(path: str) -> "ray.data.Dataset":
+def read_pages(path: str, read_blocks: int | None = None) -> "ray.data.Dataset":
     """Column-pruned read: the pipeline needs only url, html, lang
-    (never the duplicate ``text`` column or warc_ts)."""
-    return ray.data.read_parquet(path, columns=["url", "html", "lang"])
+    (never the duplicate ``text`` column or warc_ts).
+
+    ``read_blocks`` overrides the block count: page bytes are small but
+    the per-page compute is heavy, so the byte-based default block
+    sizing would put everything in one block and serialize the whole
+    pipeline — size to ~3-4× the CPU count.
+    """
+    kw = {"override_num_blocks": read_blocks} if read_blocks else {}
+    return ray.data.read_parquet(path, columns=["url", "html", "lang"], **kw)
 
 
 def sentences_dataset(pages: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -93,16 +100,38 @@ def doc_relations_dataset(
     scored_pairs: "ray.data.Dataset",
     config: KGConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
+    num_buckets: int = 128,
 ) -> "ray.data.Dataset":
-    """SHUFFLE #1 — explicit repartition, then groupby(url).map_groups.
-    Pages are bounded (≤ a few hundred pairs), so per-group work is
-    O(small); skew risk is low by key construction (SURVEY.md §7.4)."""
-    ds = scored_pairs
+    """SHUFFLE #1 — explicit repartition, then a BUCKETED
+    groupby/map_groups: rows co-partition on ``crc32(url) % num_buckets``
+    and each group is a bucket of whole documents, so the per-group
+    overhead (Arrow slicing, conversion) is paid per bucket, not per url
+    — the per-url variant pays it 10^12 times at scale. Columns not
+    needed by the aggregation (tagged text, spans, gate scores) are
+    dropped BEFORE the shuffle so the all-to-all moves minimal bytes.
+    Pages are bounded (≤ a few hundred pairs), so per-doc work is
+    O(small); url-hash keys distribute uniformly (SURVEY.md §7.4)."""
+    import zlib
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [
+            zlib.crc32(u.encode("utf-8")) % num_buckets
+            for u in batch["url"].to_pylist()
+        ]
+        return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+    ds = scored_pairs.select_columns(
+        ["url", "sent_id", "r_id", "entity1", "entity2",
+         "scores", "org_groups", "aliases"]
+    ).map_batches(add_bucket, batch_format="pyarrow")
     if num_partitions:
         ds = ds.repartition(num_partitions)
-    return ds.groupby("url").map_groups(
-        functools.partial(aggregate_doc, config=config),
-        batch_format="pandas",
+    return (
+        ds.groupby("bucket")
+        .map_groups(
+            functools.partial(aggregate_bucket, config=config),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -139,9 +168,15 @@ def build_kg_pipeline(
     company_db: pa.Table | None = None,
     dedup: bool = True,
     num_partitions: int | None = None,
+    read_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """pages parquet → deduplicated canonical triples Dataset (lazy)."""
-    pages = read_pages(pages_path)
+    if read_blocks is None:
+        try:
+            read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 3)
+        except Exception:
+            read_blocks = 32
+    pages = read_pages(pages_path, read_blocks)
     sentences = sentences_dataset(pages)
     scored = scored_pairs_dataset(sentences, config)
     docs = doc_relations_dataset(scored, config, num_partitions)

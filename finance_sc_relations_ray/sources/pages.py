@@ -128,14 +128,22 @@ def doc_ids_from_documents(documents_parquet: str) -> list[int]:
     return sorted(t["doc_id"].to_pylist())
 
 
-def pages_parquet_for(sf_dir: str, out_dir: str | None = None, seed: int = 42) -> str:
+def pages_parquet_for(
+    sf_dir: str,
+    out_dir: str | None = None,
+    seed: int = 42,
+    n_pages: int | None = None,
+) -> str:
     """Materialize (once, cached) the pages parquet for a testdata sf
     dir; returns the parquet path. Cache lives under /tmp keyed by the
     sf dir name + row count, so repeated runs and the two bench
     parallelism levels read identical bytes."""
     import os
 
-    ids = doc_ids_from_documents(os.path.join(sf_dir, "documents.parquet"))
+    if n_pages is not None:
+        ids = list(range(n_pages))
+    else:
+        ids = doc_ids_from_documents(os.path.join(sf_dir, "documents.parquet"))
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = out_dir or f"/tmp/fscr_pages/{tag}-{len(ids)}-s{seed}"
     path = os.path.join(out_dir, "pages.parquet")
@@ -143,6 +151,9 @@ def pages_parquet_for(sf_dir: str, out_dir: str | None = None, seed: int = 42) -
         return path
     os.makedirs(out_dir, exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(generate_pages(ids, seed=seed), tmp)
+    # small row groups: pages are tiny in bytes but CPU-heavy downstream,
+    # so the read must be splittable into many blocks (row-group
+    # granularity) or the whole pipeline serializes on one block
+    pq.write_table(generate_pages(ids, seed=seed), tmp, row_group_size=1024)
     os.replace(tmp, path)
     return path

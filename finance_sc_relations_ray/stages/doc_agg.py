@@ -85,12 +85,11 @@ def _cluster_doc_orgs(
     return org2id, id2org, sims
 
 
-def _derive_reporter(rows: pd.DataFrame) -> str:
+def _derive_reporter(sent_groups: dict[int, list[dict]]) -> str:
     """Most-mentioned group representative across the doc's sentences
     (ties → lexicographically smallest)."""
     counts: dict[str, int] = defaultdict(int)
-    for sent_id, grp in rows.groupby("sent_id"):
-        groups = grp.iloc[0]["org_groups"]
+    for groups in sent_groups.values():
         id2names: dict[int, list[str]] = defaultdict(list)
         for d in groups:
             id2names[d["gid"]].append(d["name"])
@@ -100,31 +99,79 @@ def _derive_reporter(rows: pd.DataFrame) -> str:
     return min(name for name, c in counts.items() if c == best)
 
 
+_AGG_COLS = ("url", "sent_id", "r_id", "entity1", "entity2",
+             "scores", "org_groups", "aliases")
+
+
+def _extract_cols(group) -> dict[str, list]:
+    if isinstance(group, pa.Table):
+        return {c: group.column(c).to_pylist() for c in _AGG_COLS}
+    return {c: group[c].tolist() for c in _AGG_COLS}
+
+
+def aggregate_bucket(
+    group: "pa.Table | pd.DataFrame", config: KGConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """A BUCKET of documents (hash(url) % B co-partitioning) → verdict
+    rows for every document in it. Converting the group to Python lists
+    once and iterating url runs amortizes the per-group overhead that a
+    per-url map_groups pays 10^12 times at scale."""
+    col = _extract_cols(group)
+    n = len(col["url"])
+    order = sorted(range(n), key=lambda i: col["url"][i])
+    col = {c: [col[c][i] for i in order] for c in _AGG_COLS}
+    outs = []
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or col["url"][i] != col["url"][start]:
+            doc_cols = {c: col[c][start:i] for c in _AGG_COLS}
+            outs.append(_aggregate_doc_cols(doc_cols, config))
+            start = i
+    if not outs:
+        return pa.Table.from_pylist([], schema=DOC_RELATIONS_SCHEMA)
+    return pa.concat_tables(outs)
+
+
 def aggregate_doc(
-    group: pd.DataFrame, config: KGConfig = DEFAULT_CONFIG
-) -> pd.DataFrame:
+    group: "pa.Table | pd.DataFrame", config: KGConfig = DEFAULT_CONFIG
+) -> pa.Table:
     """One document's scored pair-variants → per-company verdict rows."""
-    url = group.iloc[0]["url"]
+    return _aggregate_doc_cols(_extract_cols(group), config)
 
-    # R4: mean scores over position variants of each pair, dedup by r_id
-    mean_scores = {
-        r_id: np.mean(np.stack(g["scores"].to_list()), axis=0)
-        for r_id, g in group.groupby("r_id")
-    }
-    pairs = group.drop_duplicates(subset=["r_id"]).copy()
 
-    # R5: argmax label + score
-    relations = []
-    for _, row in pairs.iterrows():
-        sc = mean_scores[row["r_id"]]
+def _aggregate_doc_cols(
+    col: dict[str, list], config: KGConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """Core per-document aggregation over plain column lists."""
+    n = len(col["url"])
+    url = col["url"][0]
+
+    # R4: mean scores over position variants of each pair + dedup by
+    # r_id (first row wins, reference drop_duplicates infer.py:344)
+    sums: dict[str, np.ndarray] = {}
+    cnt: dict[str, int] = {}
+    first_row: dict[str, int] = {}
+    for i in range(n):
+        rid = col["r_id"][i]
+        sc = np.asarray(col["scores"][i], dtype=np.float64)
+        if rid in sums:
+            sums[rid] += sc
+            cnt[rid] += 1
+        else:
+            sums[rid] = sc.copy()
+            cnt[rid] = 1
+            first_row[rid] = i
+
+    # R5: argmax label + score per deduped pair
+    pair_rows = []  # (row_idx, relation, rel_score)
+    for rid, i in first_row.items():
+        sc = sums[rid] / cnt[rid]
         k = int(np.argmax(sc))
-        relations.append((LABELS[k], round(float(sc[k]), 4)))
-    pairs["relation"] = [r[0] for r in relations]
-    pairs["rel_score"] = [r[1] for r in relations]
+        pair_rows.append((i, LABELS[k], round(float(sc[k]), 4)))
 
     # document alias closure (reporter.py:270-277)
     alias_pairs = {
-        (d["target"], d["alias"]) for lst in group["aliases"] for d in (lst or [])
+        (d["target"], d["alias"]) for lst in col["aliases"] for d in (lst or [])
     }
     alias2name: dict[str, list[str]] = defaultdict(list)
     name2alias: dict[str, list[str]] = defaultdict(list)
@@ -132,12 +179,15 @@ def aggregate_doc(
         name2alias[target].append(alias)
         alias2name[alias].append(target)
 
-    all_orgs = sorted({d["name"] for lst in group["org_groups"] for d in lst})
+    all_orgs = sorted({d["name"] for lst in col["org_groups"] for d in lst})
     org2id, id2org, sims = _cluster_doc_orgs(
         all_orgs, alias2name, name2alias, config.cluster_threshold
     )
 
-    reporter = _derive_reporter(group)
+    sent_groups = {}
+    for i in range(n):
+        sent_groups.setdefault(col["sent_id"][i], col["org_groups"][i])
+    reporter = _derive_reporter(sent_groups)
     # reporter-similar names (reporter.py:313-315): search over doc orgs
     if reporter in all_orgs:
         i = all_orgs.index(reporter)
@@ -159,11 +209,11 @@ def aggregate_doc(
 
     # reporter removal + per-company bucketing (reporter.py:313-345)
     companies_relations: dict[str, list[dict]] = defaultdict(list)
-    for _, row in pairs.iterrows():
+    for i, rel_label, rel_score in pair_rows:
         relation = {
-            row["entity2"]: row["relation"],
-            row["entity1"]: INVERSE_RELATION.get(row["relation"], "other"),
-            "score": row["rel_score"],
+            col["entity2"][i]: rel_label,
+            col["entity1"][i]: INVERSE_RELATION.get(rel_label, "other"),
+            "score": rel_score,
         }
         for rep_name in reporter_mentions:
             if relation.get(rep_name) and relation:
@@ -175,7 +225,7 @@ def aggregate_doc(
                 representative = id2org[org2id[company]][0]
                 companies_relations[representative].append(
                     {
-                        "sentence_id": int(row["sent_id"]),
+                        "sentence_id": int(col["sent_id"][i]),
                         "relation": relation[company],
                         "score": float(score),
                     }
@@ -199,4 +249,7 @@ def aggregate_doc(
         out["score"].append(round(win, 3))
         out["sentence_ids"].append(sorted(set(sent_ids)))
         out["n_pairs"].append(len(rels))
-    return pd.DataFrame(out)
+    return pa.table(
+        {name: pa.array(out[name], type=DOC_RELATIONS_SCHEMA.field(name).type)
+         for name in DOC_RELATIONS_SCHEMA.names}
+    )

@@ -51,9 +51,10 @@ def partial_dedup_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
             cols[name].append(v)
         cols["score"].append(s)
         cols["n_mentions"].append(c)
+    key_types = {k: batch.schema.field(k).type for k in keys}
     return pa.table(
         {
-            **{k: pa.array(cols[k], type=pa.string()) for k in keys},
+            **{k: pa.array(cols[k], type=key_types[k]) for k in keys},
             "score": pa.array(cols["score"], type=pa.float32()),
             "n_mentions": pa.array(cols["n_mentions"], type=pa.int64()),
         }

@@ -49,8 +49,8 @@ def expected_triples(
         if pairs.num_rows == 0:
             continue
         scored_pairs = re_actor(pairs)
-        doc_rel = aggregate_doc(scored_pairs.to_pandas(), config)
-        for _, row in doc_rel.iterrows():
+        doc_rel = aggregate_doc(scored_pairs, config).to_pylist()
+        for row in doc_rel:
             if row["relation"] not in config.main_relations:
                 continue
             if row["relation"] == "supplier":
