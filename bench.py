@@ -69,11 +69,21 @@ def run_bench() -> dict:
     pages_path = pages_parquet_for(sf_dir, n_pages=n_pages)
     import pyarrow.parquet as pq
 
-    n_docs = pq.read_metadata(pages_path).num_rows
+    files = (
+        sorted(
+            os.path.join(pages_path, f)
+            for f in os.listdir(pages_path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(pages_path)
+        else [pages_path]
+    )
+    n_docs = sum(pq.read_metadata(f).num_rows for f in files)
     # warm the page cache so we measure compute+shuffle, not cold disk
-    with open(pages_path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    for fp in files:
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     from finance_sc_relations_ray.config import scaled_config
     from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline

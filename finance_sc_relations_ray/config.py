@@ -46,7 +46,7 @@ class KGConfig:
     ner_concurrency: tuple[int, int] = (1, 8)
     re_batch_size: int = 256
     re_concurrency: tuple[int, int] = (1, 8)
-    link_batch_size: int = 1024
+    link_batch_size: int = 4096
     sc_concurrency: tuple[int, int] = (1, 4)
     link_concurrency: tuple[int, int] = (1, 2)
     # fractional CPU per stub actor: keeps the sum of actor-pool minimums
@@ -68,9 +68,14 @@ def scaled_config(num_cpus: int) -> KGConfig:
     (the heavy model stages) may autoscale up to ~the CPU count, the
     light gate/link pools to a fraction, with fractional CPU
     reservations keeping headroom for the task-pool stages."""
+    # FIXED pool sizes (an int, not an autoscaling tuple): Ray Data's
+    # autoscaling pool ramps up too slowly for short CPU-bound jobs —
+    # measured load average stuck at ~5 of 32 cores with (1, 32).
+    # Fractional num_cpus (0.5) keeps reservations at half the cores so
+    # read/shuffle task operators never starve.
     return KGConfig(
-        ner_concurrency=(1, max(4, num_cpus)),
-        re_concurrency=(1, max(4, num_cpus)),
-        sc_concurrency=(1, max(2, num_cpus // 4)),
-        link_concurrency=(1, max(2, num_cpus // 8)),
+        ner_concurrency=max(4, num_cpus),
+        re_concurrency=max(4, num_cpus),
+        sc_concurrency=max(2, num_cpus // 4),
+        link_concurrency=max(2, num_cpus // 8),
     )

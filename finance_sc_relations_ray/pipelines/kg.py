@@ -96,6 +96,23 @@ def scored_pairs_dataset(
     )
 
 
+def fused_scored_pairs_dataset(
+    sentences: "ray.data.Dataset", config: KGConfig = DEFAULT_CONFIG
+) -> "ray.data.Dataset":
+    """Single fused actor pool for all per-sentence model work (see
+    stages/fused.py for the tradeoff vs the composable pools)."""
+    from ..stages.fused import SentencePairScorer
+
+    return sentences.map_batches(
+        SentencePairScorer,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=config.ner_batch_size,
+        concurrency=config.ner_concurrency,
+        num_cpus=config.actor_num_cpus,
+    )
+
+
 def doc_relations_dataset(
     scored_pairs: "ray.data.Dataset",
     config: KGConfig = DEFAULT_CONFIG,
@@ -169,16 +186,56 @@ def build_kg_pipeline(
     dedup: bool = True,
     num_partitions: int | None = None,
     read_blocks: int | None = None,
+    fused: bool = True,
+    page_local: bool = True,
 ) -> "ray.data.Dataset":
-    """pages parquet → deduplicated canonical triples Dataset (lazy)."""
+    """pages parquet → deduplicated canonical triples Dataset (lazy).
+
+    Three equivalent physical plans (all emit identical triples —
+    tested):
+
+    - ``page_local=True`` (default): the input is one row per document,
+      so the per-document aggregation is LOCAL — one fused actor pool
+      does extract→sentencize→score→doc-aggregate and the only shuffle
+      left is the combiner-first triple dedup. This is the 100 TB plan
+      for document-shaped inputs.
+    - ``page_local=False, fused=True``: sentence fan-out, one fused
+      model pool, then the explicit bucketed groupby(url) shuffle —
+      the plan for sentence-fragmented inputs (e.g. resuming from a
+      persisted sentence table).
+    - ``page_local=False, fused=False``: separate NER / SC / pair / RE
+      actor pools — the layout real GPU models need (per-model batch
+      shapes and device reservations).
+    """
     if read_blocks is None:
         try:
             read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 3)
         except Exception:
             read_blocks = 32
     pages = read_pages(pages_path, read_blocks)
+    if page_local:
+        from ..stages.fused import PageKGActor
+
+        docs = pages.map_batches(
+            PageKGActor,
+            fn_constructor_kwargs={"config": config},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=config.ner_concurrency,
+            num_cpus=config.actor_num_cpus,
+        )
+        linked = linked_dataset(docs, company_db, config)
+        if not dedup:
+            return linked.map_batches(
+                functools.partial(to_triples_batch, config=config),
+                batch_format="pyarrow",
+            )
+        return triples_dataset(linked, config)
     sentences = sentences_dataset(pages)
-    scored = scored_pairs_dataset(sentences, config)
+    if fused:
+        scored = fused_scored_pairs_dataset(sentences, config)
+    else:
+        scored = scored_pairs_dataset(sentences, config)
     docs = doc_relations_dataset(scored, config, num_partitions)
     linked = linked_dataset(docs, company_db, config)
     if not dedup:

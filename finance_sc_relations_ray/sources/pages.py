@@ -146,14 +146,25 @@ def pages_parquet_for(
         ids = doc_ids_from_documents(os.path.join(sf_dir, "documents.parquet"))
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = out_dir or f"/tmp/fscr_pages/{tag}-{len(ids)}-s{seed}"
-    path = os.path.join(out_dir, "pages.parquet")
-    if os.path.exists(path):
+    path = os.path.join(out_dir, "pages")
+    if os.path.isdir(path) and os.listdir(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
+    # a DIRECTORY of files with small row groups: pages are tiny in
+    # bytes but CPU-heavy downstream, so both the file read and the
+    # block layout must be splittable or the pipeline serializes on a
+    # single read task
     tmp = path + ".tmp"
-    # small row groups: pages are tiny in bytes but CPU-heavy downstream,
-    # so the read must be splittable into many blocks (row-group
-    # granularity) or the whole pipeline serializes on one block
-    pq.write_table(generate_pages(ids, seed=seed), tmp, row_group_size=1024)
+    os.makedirs(tmp, exist_ok=True)
+    n_files = max(1, min(32, len(ids) // 2048))
+    per = (len(ids) + n_files - 1) // n_files
+    for f in range(n_files):
+        chunk = ids[f * per : (f + 1) * per]
+        if chunk:
+            pq.write_table(
+                generate_pages(chunk, seed=seed),
+                os.path.join(tmp, f"part-{f:04d}.parquet"),
+                row_group_size=1024,
+            )
     os.replace(tmp, path)
     return path

@@ -1,0 +1,168 @@
+"""Fused per-sentence model stage: NER + alias/grouping + SC gate +
+pair enumeration/tagging + RE scoring (with reverse ensemble and
+position averaging) in ONE actor pool.
+
+Why fuse: the composable stages (stages/ner.py, stages/scoring.py)
+serialize spans/org_groups/aliases (Arrow list<struct>) and tagged
+variant strings between every stage — at 10^12 docs that intermediate
+traffic dwarfs the compute when models are cheap. The fused actor keeps
+all per-sentence state in-process and emits exactly the columns the
+per-document aggregation shuffle needs (one row per PAIR, scores
+already position-averaged — R4 is local by construction because a
+pair's variants are produced together).
+
+When the real GPU models land, the fusion point moves: NER and RE run
+on separate GPU pools (different models/batch shapes), and this class
+becomes the CPU-stub fast path. The composable stages remain the
+documented seam; the e2e test proves both paths emit identical triples
+(tests/test_pipeline_e2e.py compares the fused pipeline against the
+stage-composed oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, KGConfig
+from ..functions.grouping import detect_alias_candidates, filter_aliases, group_entities
+from ..functions.names import encode_names, similarity
+from ..functions.tagging import entity_annotation, inverse_relations
+from .ner import ALIAS_T, ORG_GROUP_T, GazetteerTagger
+from .scoring import _SUPPLY_RE, RuleReScorer, _representative
+
+SCORED_PAIRS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("sent_id", pa.int64()),
+        ("r_id", pa.string()),
+        ("entity1", pa.string()),
+        ("entity2", pa.string()),
+        ("scores", pa.list_(pa.float32(), 3)),
+        ("org_groups", pa.list_(ORG_GROUP_T)),
+        ("aliases", pa.list_(ALIAS_T)),
+    ]
+)
+
+
+class SentencePairScorer:
+    """Actor: cleaned sentence rows → position-averaged scored pair rows."""
+
+    def __init__(self, config: KGConfig = DEFAULT_CONFIG, reverse: bool = True):
+        self.config = config
+        self.reverse = reverse
+        self.tagger = GazetteerTagger()
+        self.re_model = RuleReScorer()
+        self.supply_re = _SUPPLY_RE
+
+    def _score(self, tagged: str) -> np.ndarray:
+        fwd = np.asarray(self.re_model.score(tagged), dtype=np.float64)
+        if self.reverse:
+            rev = self.re_model.score(inverse_relations(tagged))
+            fwd = (fwd + np.asarray([rev[1], rev[0], rev[2]])) / 2.0
+        return fwd
+
+    def score_sentence(self, url: str, sent_id: int, sent: str, out: dict) -> None:
+        """Score one cleaned sentence, appending pair rows to ``out``
+        (column lists in SCORED_PAIRS_SCHEMA order)."""
+        cfg = self.config
+        # SC gate first (cheapest): negative sentences short-circuit
+        # before the NER model runs — at scale with a real SC model the
+        # gate ordering follows the reference (NER feeds SC), but
+        # gate-vs-NER order is commutative on the kept set
+        if self.supply_re.search(sent) is None:
+            return
+        spans = self.tagger.spans(sent)
+        if not spans:
+            return
+        ents = sorted({sp["text"] for sp in spans})
+        cand = detect_alias_candidates(sent, ents)
+        filtered = filter_aliases(cand, similarity, cfg.alias_sim_threshold)
+        ents_vec = dict(zip(ents, encode_names(ents)))
+        groups = group_entities(
+            ents, filtered, filtered, ents_vec, cfg.group_threshold
+        )
+        gids: dict[int, list[str]] = {}
+        for name, gid in groups.items():
+            gids.setdefault(gid, []).append(name)
+        if len(gids) < 2:
+            return
+        group_ids = sorted(gids)
+        reps = {g: _representative(gids[g]) for g in group_ids}
+        org_groups_cells = [{"name": k, "gid": v} for k, v in groups.items()]
+        alias_cells = [{"target": t, "alias": a} for t, a in filtered]
+        pair_i = 0
+        for a in range(len(group_ids)):
+            for b in range(a + 1, len(group_ids)):
+                e1, e2 = reps[group_ids[a]], reps[group_ids[b]]
+                variants = entity_annotation(sent, e1, e2, groups, cfg.num_positions)
+                if variants:
+                    sc = np.mean([self._score(t) for t in variants], axis=0)
+                    out["url"].append(url)
+                    out["sent_id"].append(sent_id)
+                    out["r_id"].append(f"{sent_id}_{pair_i}")
+                    out["entity1"].append(e1)
+                    out["entity2"].append(e2)
+                    out["scores"].append([float(x) for x in sc])
+                    out["org_groups"].append(org_groups_cells)
+                    out["aliases"].append(alias_cells)
+                pair_i += 1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in SCORED_PAIRS_SCHEMA.names}
+        for url, sent_id, sent in zip(
+            batch["url"].to_pylist(),
+            batch["sent_id"].to_pylist(),
+            batch["sent"].to_pylist(),
+        ):
+            self.score_sentence(url, sent_id, sent, out)
+        return pa.table(
+            {
+                name: pa.array(out[name], type=SCORED_PAIRS_SCHEMA.field(name).type)
+                for name in SCORED_PAIRS_SCHEMA.names
+            }
+        )
+
+
+class PageKGActor(SentencePairScorer):
+    """Page-local fast path: (url, html, lang) page rows → per-document
+    verdict rows, with extraction, sentencizing, scoring AND the
+    per-document aggregation all in-process.
+
+    Legitimate because the input is ONE ROW PER DOCUMENT — every pair of
+    a document is produced locally, so the groupby(url) shuffle that
+    stages/doc_agg.py implements for sentence-fragmented inputs (e.g.
+    resuming from a persisted sentence table) is a no-op here. The
+    shuffle path stays available via ``build_kg_pipeline(page_local=
+    False)`` and is equivalence-tested against this one.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        from ..functions.clean import clean_text
+        from ..functions.textops import sentencize
+        from .extract import extract_text
+        from .doc_agg import DOC_RELATIONS_SCHEMA, _AGG_COLS, _aggregate_doc_cols
+
+        outs = []
+        langs = (
+            batch["lang"].to_pylist()
+            if "lang" in batch.column_names
+            else ["en"] * batch.num_rows
+        )
+        for url, html, lang in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist(), langs
+        ):
+            if lang != "en":
+                continue
+            cols = {k: [] for k in SCORED_PAIRS_SCHEMA.names}
+            for sent_id, raw in enumerate(sentencize(extract_text(html))):
+                self.score_sentence(url, sent_id, clean_text(raw), cols)
+            if cols["url"]:
+                outs.append(
+                    _aggregate_doc_cols(
+                        {c: cols[c] for c in _AGG_COLS}, self.config
+                    )
+                )
+        if not outs:
+            return pa.Table.from_pylist([], schema=DOC_RELATIONS_SCHEMA)
+        return pa.concat_tables(outs)
