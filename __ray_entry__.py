@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_doc_relations(sf_dir: str):
         return build_kg_pipeline(_pages(sf_dir), dedup=False, num_partitions=8)
 
+    def kg_alias_items(sf_dir: str):
+        from finance_sc_relations_ray.pipelines.kg import alias_items_dataset
+
+        return alias_items_dataset(_pages(sf_dir))
+
     def pages_binary_meta(sf_dir: str):
         import ray.data
 
@@ -104,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG pipeline (pages synthesized from documents; non-SQL)
         "kg_triples": kg_triples,
         "kg_doc_relations": kg_doc_relations,
+        "kg_alias_items": kg_alias_items,
         # multimodal binary-column plumbing (non-SQL)
         "pages_binary_meta": pages_binary_meta,
         "pages_decode_stub": pages_decode_stub,

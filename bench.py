@@ -123,7 +123,7 @@ def run_scaling() -> dict:
     # larger input for the scaling runs: fixed costs (actor-pool spawn,
     # read, shuffle barriers) must be small relative to compute or the
     # efficiency measures startup, not scaling
-    pages = os.environ.get("GRAFT_BENCH_PAGES", "50000")
+    pages = os.environ.get("GRAFT_BENCH_PAGES", "200000")
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES=pages)
         proc = subprocess.run(

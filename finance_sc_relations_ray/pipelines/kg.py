@@ -179,6 +179,68 @@ def triples_dataset(
     return salted_dedup(triples, ["subj", "pred", "obj"])
 
 
+def alias_items_dataset(
+    pages_path: str,
+    config: KGConfig = DEFAULT_CONFIG,
+    read_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Alias items — the reference's second KG output type (alias
+    DynamoDB items keyed per filing, reporter.py:347-385): one row per
+    (url, target, alias) pair detected and accepted by the alias filter,
+    deduplicated within document."""
+    from ..stages.fused import SentencePairScorer
+
+    pages = read_pages(pages_path, read_blocks)
+    sentences = sentences_dataset(pages)
+
+    def extract_aliases(batch: pa.Table, actor=SentencePairScorer(config)) -> pa.Table:
+        from ..functions.grouping import detect_alias_candidates, filter_aliases
+        from ..functions.names import similarity
+        urls, targets, aliases = [], [], []
+        for url, sent in zip(batch["url"].to_pylist(), batch["sent"].to_pylist()):
+            spans = actor.tagger.spans(sent)
+            if not spans:
+                continue
+            ents = sorted({sp["text"] for sp in spans})
+            for t, a in filter_aliases(
+                detect_alias_candidates(sent, ents),
+                similarity,
+                config.alias_sim_threshold,
+            ):
+                urls.append(url)
+                targets.append(t)
+                aliases.append(a)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "target": pa.array(targets, pa.string()),
+                "alias": pa.array(aliases, pa.string()),
+            }
+        )
+
+    ds = sentences.map_batches(extract_aliases, batch_format="pyarrow")
+    # within-url dedup via the combiner pattern
+    def combine(batch: pa.Table) -> pa.Table:
+        seen = sorted(
+            {(u, t, a) for u, t, a in zip(
+                batch["url"].to_pylist(),
+                batch["target"].to_pylist(),
+                batch["alias"].to_pylist(),
+            )}
+        )
+        return pa.table(
+            {
+                "url": pa.array([x[0] for x in seen], pa.string()),
+                "target": pa.array([x[1] for x in seen], pa.string()),
+                "alias": pa.array([x[2] for x in seen], pa.string()),
+            }
+        )
+
+    return ds.map_batches(combine, batch_format="pyarrow").groupby(
+        ["url", "target", "alias"]
+    ).count().select_columns(["url", "target", "alias"])
+
+
 def build_kg_pipeline(
     pages_path: str,
     config: KGConfig = DEFAULT_CONFIG,
@@ -216,15 +278,20 @@ def build_kg_pipeline(
     if page_local:
         from ..stages.fused import PageKGActor
 
-        docs = pages.map_batches(
+        # entity linking runs inline in the same actor (broadcast DB via
+        # ray.put, per-actor cached prefix index) — one pool, no extra
+        # stage boundary
+        db_ref = ray.put(
+            company_db if company_db is not None else company_db_table()
+        )
+        linked = pages.map_batches(
             PageKGActor,
-            fn_constructor_kwargs={"config": config},
+            fn_constructor_kwargs={"config": config, "db_ref": db_ref},
             batch_format="pyarrow",
             batch_size=64,
             concurrency=config.ner_concurrency,
             num_cpus=config.actor_num_cpus,
         )
-        linked = linked_dataset(docs, company_db, config)
         if not dedup:
             return linked.map_batches(
                 functools.partial(to_triples_batch, config=config),

@@ -137,6 +137,22 @@ class PageKGActor(SentencePairScorer):
     False)`` and is equivalence-tested against this one.
     """
 
+    def __init__(
+        self,
+        config: KGConfig = DEFAULT_CONFIG,
+        reverse: bool = True,
+        db_ref=None,
+    ):
+        super().__init__(config, reverse)
+        self.linker = None
+        if db_ref is not None:
+            import ray
+
+            from .link import Linker
+
+            db = ray.get(db_ref) if not isinstance(db_ref, pa.Table) else db_ref
+            self.linker = Linker(db, config)
+
     def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
         from ..functions.clean import clean_text
         from ..functions.textops import sentencize
@@ -164,5 +180,9 @@ class PageKGActor(SentencePairScorer):
                     )
                 )
         if not outs:
-            return pa.Table.from_pylist([], schema=DOC_RELATIONS_SCHEMA)
-        return pa.concat_tables(outs)
+            out = pa.Table.from_pylist([], schema=DOC_RELATIONS_SCHEMA)
+        else:
+            out = pa.concat_tables(outs)
+        if self.linker is not None:
+            out = self.linker.link_batch(out)
+        return out

@@ -68,18 +68,16 @@ class PrefixIndex:
         return entity_id, db_name, [rgids[i] for i in cands]
 
 
-class LinkActor:
-    """Actor-pool linker: adds entity_id / entity_name_db /
-    candidate_ids for the ``company`` column (and ``reporter_id`` for
-    the reporter)."""
+class Linker:
+    """Cached prefix-index linker shared by the standalone LinkActor and
+    the inline page-local path."""
 
-    def __init__(self, db_ref, config: KGConfig = DEFAULT_CONFIG):
-        db_table = ray.get(db_ref) if not isinstance(db_ref, pa.Table) else db_ref
+    def __init__(self, db_table: pa.Table, config: KGConfig):
         self.index = PrefixIndex(db_table, config.prefix_len)
         self.config = config
         self._cache: dict[str, tuple] = {}
 
-    def _link(self, name: str):
+    def link(self, name: str):
         hit = self._cache.get(name)
         if hit is None:
             hit = self.index.lookup(
@@ -91,13 +89,13 @@ class LinkActor:
             self._cache[name] = hit
         return hit
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def link_batch(self, batch: pa.Table) -> pa.Table:
         eids, dbnames, cands, rep_ids = [], [], [], []
         for company, reporter in zip(
             batch["company"].to_pylist(), batch["reporter"].to_pylist()
         ):
-            eid, dbname, cand = self._link(company)
-            rid, _, _ = self._link(reporter)
+            eid, dbname, cand = self.link(company)
+            rid, _, _ = self.link(reporter)
             eids.append(eid)
             dbnames.append(dbname)
             cands.append(cand)
@@ -110,3 +108,16 @@ class LinkActor:
             )
             .append_column("reporter_id", pa.array(rep_ids, type=pa.string()))
         )
+
+
+class LinkActor:
+    """Actor-pool linker: adds entity_id / entity_name_db /
+    candidate_ids for the ``company`` column (and ``reporter_id`` for
+    the reporter)."""
+
+    def __init__(self, db_ref, config: KGConfig = DEFAULT_CONFIG):
+        db_table = ray.get(db_ref) if not isinstance(db_ref, pa.Table) else db_ref
+        self.linker = Linker(db_table, config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.linker.link_batch(batch)
