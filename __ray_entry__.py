@@ -42,6 +42,7 @@ def entry() -> Any:
 
 # --------------------------------------------------------------------- #
 def queries() -> dict[str, Callable[[str], Any]]:
+    from finance_sc_relations_ray.pipelines import mlops as M
     from finance_sc_relations_ray.pipelines import relational as R
     from finance_sc_relations_ray.pipelines import similarity as S
     from finance_sc_relations_ray.pipelines import text as T
@@ -103,6 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
         "simhash_documents": T.simhash_documents,  # non-SQL (sketch)
+        # training-data prep operators
+        "segment_class_weights": M.segment_class_weights,
+        "token_length_quantiles": M.token_length_quantiles,
+        "stratified_split_documents": M.stratified_split_documents,  # seeded, non-SQL
+        "embedding_dup_pairs": M.embedding_dup_pairs,
         # similarity search over embeddings
         "knn_cosine": S.knn_cosine,
         "lsh_bucketed_knn": S.lsh_bucketed_knn,  # non-SQL (approximate)
@@ -277,6 +283,28 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id,
                    count(*)    AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "segment_class_weights": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(count(*) / (SELECT count(*) FROM customer)::DOUBLE, 6)
+                       AS weight
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "token_length_quantiles": r"""
+            WITH c AS (
+                SELECT len(regexp_extract_all(text, '\S+')) AS n FROM documents
+            )
+            SELECT 0.95 AS quantile, round(quantile_cont(n, 0.95), 6) AS n_tokens FROM c
+            UNION ALL
+            SELECT 0.99 AS quantile, round(quantile_cont(n, 0.99), 6) AS n_tokens FROM c
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
         """,
         "knn_cosine": """
             WITH q AS (

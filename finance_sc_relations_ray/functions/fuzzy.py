@@ -1,0 +1,83 @@
+"""Fuzzy entity recovery + sampling/splitting helpers (training-data
+preparation operators, SURVEY.md §2.2 M15 / §2.7 O4-O6)."""
+
+from __future__ import annotations
+
+import random
+import zlib
+from collections import defaultdict
+
+
+def hamming_score(query: str, text: str) -> float:
+    """Normalized character-overlap composite used by the reference's
+    fuzzy entity recovery (src/utils/preprocess.py:22-48 semantics):
+    positional character agreement over the shorter length, blended with
+    a length ratio."""
+    if not query or not text:
+        return 0.0
+    q, t = query.lower(), text.lower()
+    m = min(len(q), len(t))
+    agree = sum(1 for i in range(m) if q[i] == t[i])
+    return 0.5 * (agree / m) + 0.5 * (m / max(len(q), len(t)))
+
+
+def hamming_search(query: str, candidates: list[str], threshold: float = 0.6):
+    """Best candidate above threshold, else None
+    (preprocess.py:22-48: accept max > 0.6)."""
+    if not candidates:
+        return None
+    scored = sorted(
+        ((hamming_score(query, c), c) for c in candidates),
+        key=lambda x: (-x[0], x[1]),
+    )
+    best_score, best = scored[0]
+    return best if best_score > threshold else None
+
+
+def _rng(seed_key: str) -> random.Random:
+    return random.Random(zlib.crc32(seed_key.encode("utf-8")))
+
+
+def stratified_doc_split(
+    doc_ids: list[int],
+    strata: list[str],
+    valid_frac: float = 0.2,
+    seed_key: str = "split-42",
+) -> dict[int, str]:
+    """Doc-level stratified train/valid split (reference
+    src/utils/preprocess.py:397-447: split at document granularity,
+    stratified by label, then rows expand back). Deterministic: shuffle
+    within stratum with a crc32-seeded RNG. Returns doc_id → 'train'|'valid'."""
+    by_stratum: dict[str, list[int]] = defaultdict(list)
+    for d, s in zip(doc_ids, strata):
+        by_stratum[s].append(d)
+    out: dict[int, str] = {}
+    for s in sorted(by_stratum):
+        ids = sorted(by_stratum[s])
+        _rng(f"{seed_key}|{s}").shuffle(ids)
+        n_valid = int(round(len(ids) * valid_frac))
+        for i, d in enumerate(ids):
+            out[d] = "valid" if i < n_valid else "train"
+    return out
+
+
+def k_fold_assign(
+    doc_ids: list[int], k: int = 5, seed_key: str = "fold-42"
+) -> dict[int, int]:
+    """Deterministic k-fold assignment (reference
+    src/data_cleansing/cross_cleaner.py:84-201 builds per-class
+    contiguous folds; ours: seeded shuffle then round-robin)."""
+    ids = sorted(doc_ids)
+    _rng(seed_key).shuffle(ids)
+    return {d: i % k for i, d in enumerate(ids)}
+
+
+def negative_sample(
+    items: list, max_others: int, seed_key: str
+) -> list:
+    """Cap "other"-class pairs with a seeded sample (reference
+    src/labels_generator/data_aggregation.py:250-253 uses unseeded
+    random.sample — a documented nondeterminism we fix)."""
+    if len(items) <= max_others:
+        return list(items)
+    return _rng(seed_key).sample(list(items), max_others)

@@ -1,0 +1,128 @@
+"""Training-data preparation operators (SURVEY.md §2.6 A4, §2.7 O4-O6,
+§2.8 embedding near-dup) as distributed queries with DuckDB oracles
+where SQL-expressible."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions.fuzzy import stratified_doc_split
+from ..functions.rounding import round_half_away
+from ..functions.textops import token_count
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def segment_class_weights(sf_dir: str) -> pd.DataFrame:
+    """Normalized class weights from value counts (reference
+    preprocessing_funcs.py:390-400 semantics on a neutral column)."""
+    counts = (
+        _read(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    total = counts["n"].sum()
+    counts["weight"] = round_half_away(counts["n"] / total, 6)
+    return counts.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def token_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """0.95 / 0.99 token-length quantiles — the reference's max_len
+    sizing statistic (sc_classifier/trainer.py:212). Distributed
+    pattern: token counts via map_batches, quantile over the (small)
+    counts vector. Linear interpolation matches DuckDB quantile_cont."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = [token_count(t) for t in batch["text"].to_pylist()]
+        return pa.table({"n_tokens": pa.array(n, pa.int64())})
+
+    counts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas()["n_tokens"]
+        .to_numpy()
+    )
+    q95, q99 = np.percentile(counts, [95, 99], method="linear")
+    return pd.DataFrame(
+        {"quantile": [0.95, 0.99],
+         "n_tokens": round_half_away(np.array([q95, q99]), 6)}
+    )
+
+
+def stratified_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataFrame:
+    """Deterministic doc-level stratified split by lang (O4). Seeded —
+    not SQL-expressible; checked by its own pytest invariants."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    ids = t["doc_id"].to_pylist()
+    langs = t["lang"].to_pylist()
+    assign = stratified_doc_split(ids, langs, valid_frac)
+    out = pd.DataFrame(
+        {"doc_id": ids, "lang": langs, "split": [assign[d] for d in ids]}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b with cosine
+    ≥ threshold). The full matrix is broadcast once (small side); each
+    batch emits only its above-threshold pairs — at scale the broadcast
+    side becomes the LSH-bucketed index (similarity.lsh_bucketed_knn)."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            m = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.mat.T
+            rows_a, rows_b, cos = [], [], []
+            for i, va in enumerate(vids):
+                hit = np.flatnonzero((sims[i] >= threshold) & (self.ids > va))
+                rows_a.extend([va] * len(hit))
+                rows_b.extend(self.ids[hit].tolist())
+                cos.extend(sims[i][hit].tolist())
+            return pa.table(
+                {
+                    "vec_id_a": pa.array(rows_a, pa.int64()),
+                    "vec_id_b": pa.array(rows_b, pa.int64()),
+                    "cosine": pa.array(np.round(cos, 6), pa.float64()),
+                }
+            )
+
+    out = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(PairFinder, batch_format="pyarrow",
+                     concurrency=(1, 4), num_cpus=0.5)
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame(
+            {"vec_id_a": pd.Series([], dtype="int64"),
+             "vec_id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
