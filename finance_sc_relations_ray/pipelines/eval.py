@@ -10,6 +10,32 @@ from __future__ import annotations
 import pandas as pd
 
 
+def direction_consistency(scorer, tagged_sentences: list[str]) -> dict:
+    """Direction-consistency report (reference
+    src/stages/evaluate.py:131-160): predict on tag-swapped inputs and
+    compare — a consistent model yields the inverse label. ``scorer``
+    maps a tagged sentence to a 3-score list (supplier, customer,
+    other)."""
+    from ..config import INVERSE_RELATION
+    from ..functions.tagging import inverse_relations
+
+    labels = ("supplier", "customer", "other")
+    consistent = 0
+    for sent in tagged_sentences:
+        fwd = labels[max(range(3), key=lambda i: scorer(sent)[i])]
+        rev = labels[
+            max(range(3), key=lambda i: scorer(inverse_relations(sent))[i])
+        ]
+        if rev == INVERSE_RELATION[fwd]:
+            consistent += 1
+    n = len(tagged_sentences)
+    return {
+        "n": n,
+        "consistent": consistent,
+        "consistency_rate": round(consistent / n, 4) if n else 1.0,
+    }
+
+
 def triple_pr(got: pd.DataFrame, expected: pd.DataFrame) -> dict:
     g = set(zip(got["subj"], got["pred"], got["obj"]))
     e = set(zip(expected["subj"], expected["pred"], expected["obj"]))
