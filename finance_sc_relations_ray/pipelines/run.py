@@ -34,13 +34,7 @@ import ray.data
 
 from ..config import DEFAULT_CONFIG, KGConfig
 from ..state.manifest import Manifest, part_of
-from .kg import (
-    doc_relations_dataset,
-    linked_dataset,
-    read_pages,
-    scored_pairs_dataset,
-    sentences_dataset,
-)
+from .kg import read_pages
 from ..stages.shuffle import salted_dedup
 from ..stages.triples import to_triples_batch
 
@@ -95,10 +89,18 @@ def run_partitioned(
             for p in b["part"].to_pylist():
                 page_counts[p] = page_counts.get(p, 0) + 1
 
-        sentences = sentences_dataset(pages.drop_columns(["part"]))
-        scored = scored_pairs_dataset(sentences, config)
-        docs = doc_relations_dataset(scored, config)
-        linked = linked_dataset(docs, None, config)
+        from ..gazetteer import company_db_table
+        from ..stages.fused import PageKGActor
+
+        db_ref = ray.put(company_db_table())
+        linked = pages.drop_columns(["part"]).map_batches(
+            PageKGActor,
+            fn_constructor_kwargs={"config": config, "db_ref": db_ref},
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=config.ner_concurrency,
+            num_cpus=config.actor_num_cpus,
+        )
         triples = linked.map_batches(
             functools.partial(to_triples_batch, config=config),
             batch_format="pyarrow",
@@ -112,7 +114,24 @@ def run_partitioned(
         for p in chunk:
             shutil.rmtree(os.path.join(out_dir, f"part={p}"), ignore_errors=True)
         part_counts: dict[int, int] = {p: 0 for p in chunk}
+        err_counts: dict[int, int] = {}
         for b in deduped.iter_batches(batch_format="pyarrow"):
+            # dead-letter split: quarantined pages ride the stream as
+            # pred="_error" rows (stages/triples.py) — route them aside
+            err_mask = pa.compute.equal(b["pred"], "_error")
+            errs = b.filter(err_mask)
+            if errs.num_rows:
+                import pyarrow.parquet as pq
+
+                dl_dir = os.path.join(out_dir, "_dead_letter")
+                os.makedirs(dl_dir, exist_ok=True)
+                pq.write_table(
+                    errs,
+                    os.path.join(dl_dir, f"chunk-{time.monotonic_ns()}.parquet"),
+                )
+                for p in errs["part"].to_pylist():
+                    err_counts[int(p)] = err_counts.get(int(p), 0) + 1
+                b = b.filter(pa.compute.invert(err_mask))
             for p in b["part"].to_pylist():
                 part_counts[int(p)] = part_counts.get(int(p), 0) + 1
             for p in set(b["part"].to_pylist()):
@@ -132,6 +151,7 @@ def run_partitioned(
                 {
                     "n_pages": page_counts.get(p, 0),
                     "n_triples": part_counts.get(p, 0),
+                    "n_errors": err_counts.get(p, 0),
                     "seconds": round(dt / max(1, len(chunk)), 3),
                 },
             )

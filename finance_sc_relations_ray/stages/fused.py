@@ -165,20 +165,42 @@ class PageKGActor(SentencePairScorer):
             if "lang" in batch.column_names
             else ["en"] * batch.num_rows
         )
+        dead: list[dict] = []
         for url, html, lang in zip(
             batch["url"].to_pylist(), batch["html"].to_pylist(), langs
         ):
             if lang != "en":
                 continue
-            cols = {k: [] for k in SCORED_PAIRS_SCHEMA.names}
-            for sent_id, raw in enumerate(sentencize(extract_text(html))):
-                self.score_sentence(url, sent_id, clean_text(raw), cols)
-            if cols["url"]:
-                outs.append(
-                    _aggregate_doc_cols(
-                        {c: cols[c] for c in _AGG_COLS}, self.config
+            # poison-row quarantine (SURVEY.md §4): one malformed page
+            # (bad utf-8, pathological markup) must not kill the job —
+            # it becomes a dead-letter row the sink routes aside. The
+            # reference records failed file ids and moves on
+            # (glue_etl.py:411-414); per-row quarantine is the
+            # streaming-native equivalent.
+            try:
+                cols = {k: [] for k in SCORED_PAIRS_SCHEMA.names}
+                for sent_id, raw in enumerate(sentencize(extract_text(html))):
+                    self.score_sentence(url, sent_id, clean_text(raw), cols)
+                if cols["url"]:
+                    outs.append(
+                        _aggregate_doc_cols(
+                            {c: cols[c] for c in _AGG_COLS}, self.config
+                        )
                     )
+            except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
+                dead.append(
+                    {
+                        "url": url,
+                        "reporter": "",
+                        "company": type(exc).__name__,
+                        "relation": "_error",
+                        "score": 0.0,
+                        "sentence_ids": [],
+                        "n_pairs": 0,
+                    }
                 )
+        if dead:
+            outs.append(pa.Table.from_pylist(dead, schema=DOC_RELATIONS_SCHEMA))
         if not outs:
             out = pa.Table.from_pylist([], schema=DOC_RELATIONS_SCHEMA)
         else:

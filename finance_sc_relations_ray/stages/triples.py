@@ -39,6 +39,20 @@ def to_triples_batch(
     rows = batch.to_pylist()
     for row in rows:
         label = row["relation"]
+        if label == "_error":
+            # dead-letter passthrough (poison-row quarantine): ride the
+            # triples stream as a (url, "_error", exc_type) row so one
+            # pipeline pass carries both outputs; the partitioned sink
+            # routes these into _dead_letter/ (pipelines/run.py)
+            out["subj"].append(row["url"])
+            out["pred"].append("_error")
+            out["obj"].append(row["company"])
+            out["subj_id"].append(None)
+            out["obj_id"].append(None)
+            out["score"].append(0.0)
+            out["url"].append(row["url"])
+            out["sentence_ids"].append([])
+            continue
         if label not in config.main_relations:
             continue
         company, reporter = row["company"], row["reporter"]
