@@ -1,0 +1,197 @@
+"""The reference's own test cases, ported against our weak-label
+module (reference test/test_re_dataset_creation.py:31-155 and
+test/test_conflict_finder.py:25-76 — same fixtures and expectations,
+our implementation)."""
+
+import pytest
+
+from finance_sc_relations_ray.functions.canonical import resort_relation
+from finance_sc_relations_ray.functions.weak_labels import (
+    check_relation_tuples,
+    extract_relations_from_llm,
+    relation_search,
+    return_possible_pairs,
+)
+
+
+@pytest.fixture
+def datapoint():
+    return {
+        "filer": "ADVANCED MICRO DEVICES INC corp",
+        "sentence": (
+            "In addition, five customers, including Sony and Microsoft, "
+            "accounted for approximately 95% of the net revenue attributable "
+            "to ADVANCED MICRO DEVICES Inc Enterprise, Embedded and Semi "
+            "Custom segment"
+        ),
+        "relations": [
+            ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony"],
+            ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"],
+        ],
+        "org_groups": {
+            "ADVANCED MICRO DEVICES Inc": 0, "Microsoft": 1, "Sony": 2
+        },
+    }
+
+
+def test_check_relation_tuples():
+    assert check_relation_tuples([]) is True
+    assert check_relation_tuples([(1, 2, 3)]) is True
+    assert check_relation_tuples([(1, 2)]) is False
+    assert check_relation_tuples([(1, 2, 3), (4, 5, 6), (7, 8, 9)]) is True
+
+
+def test_return_possible_pairs():
+    assert return_possible_pairs([1, 2, 3]) == [(1, 2), (1, 3), (2, 3)]
+    assert return_possible_pairs([]) == []
+
+
+def test_only_filer(datapoint):
+    llms, others = extract_relations_from_llm(
+        datapoint, threshold=0.9, only_filer=True, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == []
+
+
+def test_onlyfiler_false_max_other1(datapoint):
+    llms, others = extract_relations_from_llm(
+        datapoint, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_changing_names_slightly(datapoint):
+    """Fuzzy variants ("Sony Inc", "Microsoft inc") resolve to the
+    canonical org_groups names."""
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft inc"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_when_all_others(datapoint):
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "other", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "other", "Microsoft inc"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "other", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "other", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_hallucinated_name_rejected(datapoint):
+    """A relation naming companies absent from both org_groups and the
+    sentence is dropped."""
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft inc"],
+        ["MISTAKE", "supplier", "WRONG NAME"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_unknown_name_in_sentence_accepted(datapoint):
+    """Unknown names are kept when they literally occur in the
+    sentence."""
+    datapoint["sentence"] = (
+        "MISTAKE is supplier WRONG NAME of " + datapoint["sentence"]
+    )
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft inc"],
+        ["MISTAKE", "supplier", "WRONG NAME"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, threshold=0.9, only_filer=False, max_others=2
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+        ("MISTAKE", "supplier", "WRONG NAME"),
+    ]
+    assert len(others) == 2
+
+
+def test_having_no_llm_relations(datapoint):
+    datapoint["relations"] = []
+    llms, others = extract_relations_from_llm(
+        datapoint, threshold=0.9, only_filer=False, max_others=2
+    )
+    assert llms == []
+    assert len(others) == 2
+
+
+def test_resort_tuple():
+    assert resort_relation("Apple inc", "customer", "Google") == (
+        "Google", "supplier", "Apple inc"
+    )
+
+
+ORBCOMM_RELATIONS = [
+    ["ORBCOMM Inc", "nothing", "Systems Inc"],
+    ["ORBCOMM Inc", "nothing", "inthinc Technology Solutions Inc"],
+    ["ORBCOMM Inc", "nothing", "Value added Solutions Providers"],
+    ["Onixsat", "supplier", "ORBCOMM Inc"],
+    ["Satlink", "supplier", "ORBCOMM Inc"],
+    ["Sascar", "supplier", "ORBCOMM Inc"],
+    ["Carrier Transicold", "supplier", "ORBCOMM Inc"],
+    ["Thermo King", "supplier", "ORBCOMM Inc"],
+    ["CS Wholesale", "supplier", "ORBCOMM Inc"],
+    ["Canadian National Railways", "supplier", "ORBCOMM Inc"],
+    ["CR England", "supplier", "ORBCOMM Inc"],
+    ["Hub Group Inc", "supplier", "ORBCOMM Inc"],
+    ["KLLM Transport Services", "supplier", "ORBCOMM Inc"],
+    ["Marten Transport", "supplier", "ORBCOMM Inc"],
+]
+
+CASES = [
+    (("ORBCOMM Inc", "nothing", "inthinc Technology Solutions Inc"), True),
+    (("Satlink", "nothing", "inthinc Technology Solutions Inc"), True),
+    (("Onixsat", "supplier", "ORBCOMM"), True),
+    (("ORBCOMM Inc", "supplier", "Systems Inc"), False),
+    (("Onixsat", "nothing", "ORBCOMM Inc"), False),
+    (("ORBCOMM Inc", "nothing", "Onixsat"), False),
+    (("ORBCOMM Inc", "supplier", "Onixsat"), False),
+    (("Random1", "nothing", "Random2"), True),
+    (("Hub Group", "supplier", "ORBCOMM Inc"), True),
+    (("Sascar", "supplier", "Onixsat"), False),
+    (("Sascar", "nothing", "Onixsat"), True),
+]
+
+
+@pytest.mark.parametrize("query,expected", CASES)
+def test_relation_search(query, expected):
+    assert (
+        relation_search(
+            query, ORBCOMM_RELATIONS, threshold=0.85, main_relations=["supplier"]
+        )
+        is expected
+    )
