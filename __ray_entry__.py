@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": R.distinct_segments,
         "returned_items_revenue": R.returned_items_revenue,
         "events_hourly": R.events_hourly,
+        "events_sliding": R.events_sliding,
+        "top_users_per_event_type": R.top_users_per_event_type,
         "user_sessions": R.user_sessions,
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
@@ -185,6 +187,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4)       AS sum_value
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sliding": """
+            WITH fan AS (
+                SELECT event_type, value,
+                       time_bucket(INTERVAL '15 minutes', ts)
+                           - to_minutes(15 * o.k) AS window_start
+                FROM events
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) o
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM fan GROUP BY event_type, window_start
+        """,
+        "top_users_per_event_type": """
+            WITH sums AS (
+                SELECT event_type, user_id, sum(value) AS sum_value
+                FROM events GROUP BY event_type, user_id
+            ), ranked AS (
+                SELECT event_type, user_id, sum_value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY sum_value DESC, user_id)
+                           AS rank
+                FROM sums
+            )
+            SELECT event_type, rank, user_id, round(sum_value, 4) AS sum_value
+            FROM ranked WHERE rank <= 3
         """,
         "user_sessions": """
             WITH marked AS (

@@ -350,6 +350,69 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+# -------------------------------------------------- sliding windows -----
+def events_sliding(sf_dir: str, window_min: int = 60, step_min: int = 15) -> pd.DataFrame:
+    """Sliding windows (60-min window, 15-min step) per event_type: each
+    event fans out to window_min/step_min window rows, then the standard
+    partial-combine + final groupby. Mirrors the ray_guide
+    'streaming-shaped workloads' recipe; DuckDB oracle unnests the same
+    offsets."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    fan = window_min // step_min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df["ts"].dt.floor(f"{step_min}min")
+        frames = []
+        for k in range(fan):
+            w = df.copy()
+            w["window_start"] = base - pd.Timedelta(minutes=step_min * k)
+            frames.append(w)
+        allw = pd.concat(frames)
+        g = allw.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+# -------------------------------------------------- per-group top-k -----
+def top_users_per_event_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Top-k users by summed value within each event_type (grouped
+    top-k: partial per-batch combine → final groupby → per-group head)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["event_type", "user_id"], as_index=False)["value"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    sums = sums.sort_values(
+        ["event_type", "sum_value", "user_id"], ascending=[True, False, True]
+    )
+    top = sums.groupby("event_type", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("event_type").cumcount() + 1
+    top["sum_value"] = round_half_away(top["sum_value"], 4)
+    return top[["event_type", "rank", "user_id", "sum_value"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------- sessionization ----
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Per-user sessionization (gap > 30min starts a new session) via

@@ -252,13 +252,28 @@ def minhash_dup_pairs(
         )
     cand = cand.drop_duplicates().astype({"doc_id_a": "int64", "doc_id_b": "int64"})
 
-    # verify with exact shingle Jaccard; candidate set is small, texts
-    # fetched via a broadcast of only the needed docs
-    import pyarrow.parquet as pq
-
+    # verify with exact shingle Jaccard. Scale-correct text fetch: the
+    # candidate id set (small) is broadcast and the documents DATASET is
+    # filtered distributed — only the candidate subset is materialized,
+    # never the full table on the driver.
     need = sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"]))
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    tmap = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    need_ref = ray.put(set(need))
+
+    class FilterNeeded:
+        def __init__(self):
+            self.need = ray.get(need_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([d in self.need for d in batch["doc_id"].to_pylist()])
+            return batch.filter(mask)
+
+    sub = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(FilterNeeded, batch_format="pyarrow",
+                     concurrency=(1, 2), num_cpus=0.5)
+        .to_pandas()
+    )
+    tmap = dict(zip(sub["doc_id"], sub["text"]))
     sh = {d: textops.shingles(tmap[d], 3) for d in need}
     jac = [
         textops.jaccard(sh[a], sh[b])
