@@ -164,11 +164,21 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
     joined = per_order.map_batches(
         JoinOrders, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
     )
-    # deterministic top-k: tie-break equal revenues by orderkey
+
+    # combiner top-k instead of a global sort barrier: each batch emits
+    # only its local top-k; the final reduce sees ≤ k × n_batches rows
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["rev4", "l_orderkey"], ascending=[False, True]).head(k),
+            preserve_index=False,
+        )
+
+    partials = joined.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     top = (
-        joined.sort(["rev4", "l_orderkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+        partials.sort_values(["rev4", "l_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
     )
     top["revenue"] = ((top["rev4"] + 50) // 100) / 100.0
     return top[["l_orderkey", "o_custkey", "o_orderdate", "revenue"]]
