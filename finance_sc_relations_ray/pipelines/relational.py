@@ -431,23 +431,31 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     counts + max session length."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
+    # coarse co-partitioning: one map_groups call handles many users
+    # (per-group overhead amortized; see doc-agg bucketing)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [int(u) % 32 for u in batch["user_id"].to_pylist()]
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().reset_index(drop=True)
-        new = (ts.diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
-        sizes = new.value_counts()
+        rows = []
+        for user_id, grp in g.groupby("user_id"):
+            ts = grp["ts"].sort_values().reset_index(drop=True)
+            new = (ts.diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
+            sizes = new.value_counts()
+            rows.append(
+                (int(user_id), int(new.nunique()), int(sizes.max()), len(ts))
+            )
         return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new.nunique())],
-                "max_session_events": [int(sizes.max())],
-                "n_events": [len(ts)],
-            }
+            rows, columns=["user_id", "n_sessions", "max_session_events", "n_events"]
         )
 
     return (
-        ds.groupby("user_id")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
         .map_groups(sessions, batch_format="pandas")
         .to_pandas()
+        .drop(columns=["bucket"], errors="ignore")
         .sort_values("user_id")
         .reset_index(drop=True)
     )

@@ -228,19 +228,31 @@ def minhash_dup_pairs(
         concurrency=(1, 4),
     )
 
+    # co-partition LSH buckets by a coarse hash so each map_groups call
+    # processes MANY buckets (per-group overhead amortized — the same
+    # bucketed-groupby trick as the doc aggregation)
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        coarse = [
+            zlib.crc32(f"{bi}:{bh}".encode()) % 64
+            for bi, bh in zip(
+                batch["band_id"].to_pylist(), batch["band_hash"].to_pylist()
+            )
+        ]
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        for (_, _), grp in g.groupby(["band_id", "band_hash"]):
+            ids = sorted(set(grp["doc_id"].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
 
     cand = (
-        bands_ds.groupby(["band_id", "band_hash"])
+        bands_ds.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
