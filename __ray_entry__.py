@@ -58,6 +58,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kg_doc_relations(sf_dir: str):
         return build_kg_pipeline(_pages(sf_dir), dedup=False, num_partitions=8)
 
+    def kg_triples_shuffle_plan(sf_dir: str):
+        # the explicit bucketed-shuffle physical plan (sentence-level
+        # input shape) — equivalence with the page-local plan is
+        # asserted in tests/test_plan_equivalence.py
+        return build_kg_pipeline(
+            _pages(sf_dir), num_partitions=8, page_local=False, fused=True
+        )
+
     def kg_alias_items(sf_dir: str):
         from finance_sc_relations_ray.pipelines.kg import alias_items_dataset
 
@@ -118,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_doc_relations": kg_doc_relations,
         "kg_alias_items": kg_alias_items,
+        "kg_triples_shuffle_plan": kg_triples_shuffle_plan,
         # multimodal binary-column plumbing (non-SQL)
         "pages_binary_meta": pages_binary_meta,
         "pages_decode_stub": pages_decode_stub,

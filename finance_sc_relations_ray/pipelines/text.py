@@ -157,6 +157,10 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 # ----------------------------------------------------- MinHash + LSH ----
+# MinHash: Broder, "On the resemblance and containment of documents"
+# (SEQUENCES 1997); banding/LSH: Leskovec-Rajaraman-Ullman, Mining of
+# Massive Datasets ch.3. SimHash below: Charikar, "Similarity estimation
+# techniques from rounding algorithms" (STOC 2002).
 _MERSENNE = (1 << 61) - 1
 
 

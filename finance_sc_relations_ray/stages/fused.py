@@ -30,6 +30,7 @@ from ..functions.names import encode_names, similarity
 from ..functions.tagging import entity_annotation, inverse_relations
 from .ner import ALIAS_T, ORG_GROUP_T, GazetteerTagger
 from .scoring import _SUPPLY_RE, RuleReScorer, _representative
+from .schema import check_schema
 
 SCORED_PAIRS_SCHEMA = pa.schema(
     [
@@ -116,11 +117,15 @@ class SentencePairScorer:
             batch["sent"].to_pylist(),
         ):
             self.score_sentence(url, sent_id, sent, out)
-        return pa.table(
-            {
-                name: pa.array(out[name], type=SCORED_PAIRS_SCHEMA.field(name).type)
-                for name in SCORED_PAIRS_SCHEMA.names
-            }
+        return check_schema(
+            pa.table(
+                {
+                    name: pa.array(out[name], type=SCORED_PAIRS_SCHEMA.field(name).type)
+                    for name in SCORED_PAIRS_SCHEMA.names
+                }
+            ),
+            SCORED_PAIRS_SCHEMA,
+            "fused_pair_scorer",
         )
 
 
@@ -205,6 +210,7 @@ class PageKGActor(SentencePairScorer):
             out = pa.Table.from_pylist([], schema=DOC_RELATIONS_SCHEMA)
         else:
             out = pa.concat_tables(outs)
+        check_schema(out, DOC_RELATIONS_SCHEMA, "page_kg")
         if self.linker is not None:
             out = self.linker.link_batch(out)
         return out

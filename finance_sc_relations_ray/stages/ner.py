@@ -25,6 +25,7 @@ from ..config import DEFAULT_CONFIG, KGConfig
 from ..functions.grouping import detect_alias_candidates, filter_aliases, group_entities
 from ..functions.names import encode_names, similarity
 from ..gazetteer import all_surface_forms
+from .schema import check_schema
 
 SPAN_T = pa.struct(
     [("text", pa.string()), ("label", pa.string()), ("start", pa.int32()), ("end", pa.int32())]
@@ -105,7 +106,7 @@ class NerActor:
             all_aliases.append([{"target": t, "alias": a} for t, a in filtered])
             num_orgs.append(len(set(groups.values())))
 
-        return pa.table(
+        out = pa.table(
             {
                 "url": batch["url"],
                 "sent_id": batch["sent_id"],
@@ -116,3 +117,4 @@ class NerActor:
                 "num_orgs": pa.array(num_orgs, type=pa.int32()),
             }
         )
+        return check_schema(out, NER_SCHEMA, "ner")

@@ -1,3 +1,9 @@
+import os
+
+# stage-boundary schema validation is always on in tests (must be set
+# before the package imports stages.schema)
+os.environ.setdefault("FSCR_VALIDATE_SCHEMAS", "1")
+
 import pytest
 import ray
 
