@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_documents": T.lang_id_documents,
         "fingerprint_documents": T.fingerprint_documents,
         "dedup_exact": T.dedup_exact,
+        "filter_quality_documents": T.filter_quality_documents,
         "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
         "simhash_documents": T.simhash_documents,  # non-SQL (sketch)
         # training-data prep operators
@@ -315,6 +316,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_documents": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "filter_quality_documents": r"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE lang = 'en'
+              AND len(regexp_extract_all(text, '\S+')) >= 20
+              AND (CASE WHEN length(text) > 0
+                   THEN len(regexp_extract_all(text, '[.,;:!?]'))
+                        / length(text)::DOUBLE
+                   ELSE 0.0 END) <= 0.05
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash,

@@ -118,6 +118,38 @@ def fingerprint_documents(sf_dir: str) -> "ray.data.Dataset":
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+# ---------------------------------------------------- quality filter ----
+def filter_quality_documents(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.05,
+    lang: str = "en",
+) -> "ray.data.Dataset":
+    """Training-data quality gate: keep documents with ≥min_tokens
+    whitespace tokens, ≤max_punct_ratio punctuation density, and the
+    target language tag — the standard pretraining-corpus filter shape,
+    fully vectorizable and SQL-mirrored."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = []
+        for text, lg in zip(
+            batch["text"].to_pylist(), batch["lang"].to_pylist()
+        ):
+            n_tokens = textops.token_count(text)
+            n_punct = len(textops._PUNCT_CLASS_RE.findall(text))
+            ratio = n_punct / len(text) if text else 0.0  # unrounded (SQL parity)
+            keep.append(
+                lg == lang and n_tokens >= min_tokens and ratio <= max_punct_ratio
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_chars": batch["n_chars"]}
+        ).filter(pa.array(keep))
+
+    return _read(sf_dir, ["doc_id", "text", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 # ------------------------------------------------------- exact dedup ----
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash-partitioned groupby(text_hash) keeping the
