@@ -55,10 +55,20 @@ def num2word(n: int) -> str:
 def word_search(word: str | None, text: str) -> list[tuple[int, int]]:
     if word is None:
         return []
-    return [
-        (m.start(), m.end())
-        for m in re.finditer(re.escape(word.lower()), text.lower())
-    ]
+    return _find_all(word.lower(), text.lower())
+
+
+def _find_all(sub: str, low_text: str) -> list[tuple[int, int]]:
+    """Non-overlapping literal spans via str.find — identical output to
+    re.finditer(re.escape(sub)) (the hot path runs 5× per pair, so the
+    regex machinery is skipped)."""
+    out = []
+    i = low_text.find(sub)
+    step = len(sub)
+    while i != -1:
+        out.append((i, i + step))
+        i = low_text.find(sub, i + step)
+    return out
 
 
 def entity_annotation(
@@ -96,12 +106,13 @@ def entity_annotation(
     out: list[str] = []
     count = 0
     for j in range(len(res1)):
-        r1 = word_search("<entity_1>", sentence)[j]
+        r1 = res1[j]
         s = sentence[: r1[0]] + _E1_START + sentence[r1[0] :]
         s = s[: r1[1] + 5] + _E1_END + s[r1[1] + 5 :]
         r1 = word_search("<entity_1>", s)[j]
         for r2 in word_search("<entity_2>", s):
-            if set(range(r2[0], r2[1])) & set(range(r1[0], r1[1])):
+            # interval-overlap test ≡ the reference's set(range)&set(range)
+            if r2[0] < r1[1] and r1[0] < r2[1]:
                 continue
             tagged = s[: r2[0]] + _E2_START + s[r2[0] :]
             tagged = tagged[: r2[1] + 5] + _E2_END + tagged[r2[1] + 5 :]

@@ -143,6 +143,19 @@ def _aggregate_doc_cols(
     col: dict[str, list], config: KGConfig = DEFAULT_CONFIG
 ) -> pa.Table:
     """Core per-document aggregation over plain column lists."""
+    out = {k: [] for k in DOC_RELATIONS_SCHEMA.names}
+    _aggregate_doc_into(col, out, config)
+    return pa.table(
+        {name: pa.array(out[name], type=DOC_RELATIONS_SCHEMA.field(name).type)
+         for name in DOC_RELATIONS_SCHEMA.names}
+    )
+
+
+def _aggregate_doc_into(
+    col: dict[str, list], out: dict[str, list], config: KGConfig = DEFAULT_CONFIG
+) -> None:
+    """Aggregate one document, appending verdict rows to shared column
+    lists (Arrow table built ONCE per batch by the caller)."""
     n = len(col["url"])
     url = col["url"][0]
 
@@ -233,7 +246,6 @@ def _aggregate_doc_cols(
 
     # per-company score-sum + argmax (reporter.py:12-73); tie order
     # supplier > customer > other via dict insertion order
-    out = {k: [] for k in DOC_RELATIONS_SCHEMA.names}
     for company in sorted(companies_relations):
         rels = companies_relations[company]
         scores = {"supplier": 0.0, "customer": 0.0, "other": 0.0}
@@ -249,7 +261,3 @@ def _aggregate_doc_cols(
         out["score"].append(round(win, 3))
         out["sentence_ids"].append(sorted(set(sent_ids)))
         out["n_pairs"].append(len(rels))
-    return pa.table(
-        {name: pa.array(out[name], type=DOC_RELATIONS_SCHEMA.field(name).type)
-         for name in DOC_RELATIONS_SCHEMA.names}
-    )

@@ -56,11 +56,15 @@ class SentencePairScorer:
         self.re_model = RuleReScorer()
         self.supply_re = _SUPPLY_RE
 
-    def _score(self, tagged: str) -> np.ndarray:
-        fwd = np.asarray(self.re_model.score(tagged), dtype=np.float64)
+    def _score(self, tagged: str) -> list[float]:
+        fwd = self.re_model.score(tagged)
         if self.reverse:
             rev = self.re_model.score(inverse_relations(tagged))
-            fwd = (fwd + np.asarray([rev[1], rev[0], rev[2]])) / 2.0
+            fwd = [
+                (fwd[0] + rev[1]) / 2.0,
+                (fwd[1] + rev[0]) / 2.0,
+                (fwd[2] + rev[2]) / 2.0,
+            ]
         return fwd
 
     def score_sentence(self, url: str, sent_id: int, sent: str, out: dict) -> None:
@@ -98,13 +102,15 @@ class SentencePairScorer:
                 e1, e2 = reps[group_ids[a]], reps[group_ids[b]]
                 variants = entity_annotation(sent, e1, e2, groups, cfg.num_positions)
                 if variants:
-                    sc = np.mean([self._score(t) for t in variants], axis=0)
+                    vs = [self._score(t) for t in variants]
+                    inv_n = 1.0 / len(vs)
+                    sc = [sum(col) * inv_n for col in zip(*vs)]
                     out["url"].append(url)
                     out["sent_id"].append(sent_id)
                     out["r_id"].append(f"{sent_id}_{pair_i}")
                     out["entity1"].append(e1)
                     out["entity2"].append(e2)
-                    out["scores"].append([float(x) for x in sc])
+                    out["scores"].append(sc)
                     out["org_groups"].append(org_groups_cells)
                     out["aliases"].append(alias_cells)
                 pair_i += 1
@@ -162,9 +168,9 @@ class PageKGActor(SentencePairScorer):
         from ..functions.clean import clean_text
         from ..functions.textops import sentencize
         from .extract import extract_text
-        from .doc_agg import DOC_RELATIONS_SCHEMA, _AGG_COLS, _aggregate_doc_cols
+        from .doc_agg import DOC_RELATIONS_SCHEMA, _AGG_COLS, _aggregate_doc_into
 
-        outs = []
+        agg_out = {k: [] for k in DOC_RELATIONS_SCHEMA.names}
         langs = (
             batch["lang"].to_pylist()
             if "lang" in batch.column_names
@@ -187,10 +193,8 @@ class PageKGActor(SentencePairScorer):
                 for sent_id, raw in enumerate(sentencize(extract_text(html))):
                     self.score_sentence(url, sent_id, clean_text(raw), cols)
                 if cols["url"]:
-                    outs.append(
-                        _aggregate_doc_cols(
-                            {c: cols[c] for c in _AGG_COLS}, self.config
-                        )
+                    _aggregate_doc_into(
+                        {c: cols[c] for c in _AGG_COLS}, agg_out, self.config
                     )
             except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
                 dead.append(
@@ -204,12 +208,14 @@ class PageKGActor(SentencePairScorer):
                         "n_pairs": 0,
                     }
                 )
-        if dead:
-            outs.append(pa.Table.from_pylist(dead, schema=DOC_RELATIONS_SCHEMA))
-        if not outs:
-            out = pa.Table.from_pylist([], schema=DOC_RELATIONS_SCHEMA)
-        else:
-            out = pa.concat_tables(outs)
+        for d in dead:
+            for k in DOC_RELATIONS_SCHEMA.names:
+                agg_out[k].append(d[k])
+        out = pa.table(
+            {name: pa.array(agg_out[name],
+                            type=DOC_RELATIONS_SCHEMA.field(name).type)
+             for name in DOC_RELATIONS_SCHEMA.names}
+        )
         check_schema(out, DOC_RELATIONS_SCHEMA, "page_kg")
         if self.linker is not None:
             out = self.linker.link_batch(out)
