@@ -119,31 +119,47 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    results = {}
     # larger input for the scaling runs: fixed costs (actor-pool spawn,
     # read, shuffle barriers) must be small relative to compute or the
     # efficiency measures startup, not scaling
     pages = os.environ.get("GRAFT_BENCH_PAGES", "200000")
-    for ncpu in (8, 32):
+    lo, hi = (
+        int(x) for x in os.environ.get("RAY_GRAFT_SCALING", "8,32").split(",")
+    )
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+
+    def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES=pages)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
+            env=env, capture_output=True, text=True, check=True,
         )
-        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
-    t8, t32 = results[8]["value"], results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # interleave trials (lo,hi,lo,hi) and take the per-level minimum:
+    # the sandbox host is overcommitted (large /proc/stat steal time),
+    # so single measurements carry co-tenant noise; the minimum is the
+    # least-interfered estimate of each level's true capacity
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(trials):
+        runs[lo].append(one(lo))
+        runs[hi].append(one(hi))
+    t_lo = min(r["value"] for r in runs[lo])
+    t_hi = min(r["value"] for r in runs[hi])
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "kg_scaling_efficiency",
-        "sec_8": t8,
-        "sec_32": t32,
-        "docs_per_sec_8": results[8]["docs_per_sec"],
-        "docs_per_sec_32": results[32]["docs_per_sec"],
-        "speedup": round(t8 / t32, 3),
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": max(r["docs_per_sec"] for r in runs[lo]),
+        f"docs_per_sec_{hi}": max(r["docs_per_sec"] for r in runs[hi]),
+        "trials": {
+            str(lo): [r["value"] for r in runs[lo]],
+            str(hi): [r["value"] for r in runs[hi]],
+        },
+        "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
+        "levels": [lo, hi],
         "sf": _sf_dir(),
     }
 

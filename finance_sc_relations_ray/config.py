@@ -73,9 +73,13 @@ def scaled_config(num_cpus: int) -> KGConfig:
     # measured load average stuck at ~5 of 32 cores with (1, 32).
     # Fractional num_cpus (0.5) keeps reservations at half the cores so
     # read/shuffle task operators never starve.
+    # heavy pools take ~80% of the cluster's CPUs at EVERY size; the
+    # remainder is headroom for the link pool, read tasks and the
+    # object store — an oversubscribed pool (pool == all CPUs) measured
+    # ~30% slower at 32 CPUs
     return KGConfig(
-        ner_concurrency=max(4, num_cpus),
-        re_concurrency=max(4, num_cpus),
+        ner_concurrency=max(4, int(num_cpus * 0.8)),
+        re_concurrency=max(4, int(num_cpus * 0.8)),
         sc_concurrency=max(2, num_cpus // 4),
         link_concurrency=max(2, num_cpus // 8),
     )

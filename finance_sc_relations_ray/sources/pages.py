@@ -156,15 +156,40 @@ def pages_parquet_for(
     # single read task
     tmp = path + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    n_files = max(1, min(32, len(ids) // 2048))
+    n_files = max(1, min(64, len(ids) // 2048))
     per = (len(ids) + n_files - 1) // n_files
-    for f in range(n_files):
-        chunk = ids[f * per : (f + 1) * per]
-        if chunk:
-            pq.write_table(
-                generate_pages(chunk, seed=seed),
-                os.path.join(tmp, f"part-{f:04d}.parquet"),
-                row_group_size=1024,
-            )
+    chunks = [
+        (f, ids[f * per : (f + 1) * per])
+        for f in range(n_files)
+        if ids[f * per : (f + 1) * per]
+    ]
+
+    def _write_chunk(f: int, chunk: list[int]) -> None:
+        pq.write_table(
+            generate_pages(chunk, seed=seed),
+            os.path.join(tmp, f"part-{f:04d}.parquet"),
+            row_group_size=1024,
+        )
+
+    # synthesis is deterministic per doc_id, so it parallelizes freely:
+    # use Ray tasks when a session is live (large bench inputs),
+    # else generate serially
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(ids) >= 50_000
+    except Exception:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _gen(f, chunk):
+            _write_chunk(f, chunk)
+
+        ray.get([_gen.remote(f, c) for f, c in chunks])
+    else:
+        for f, c in chunks:
+            _write_chunk(f, c)
     os.replace(tmp, path)
     return path
