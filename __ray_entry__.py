@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "filter_quality_documents": T.filter_quality_documents,
         "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "simhash_documents": T.simhash_documents,  # non-SQL (sketch)
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
@@ -353,6 +354,35 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                    list_distinct(
+                        CASE WHEN len(t) >= 3
+                             THEN list_transform(range(1, len(t) - 1),
+                                                 i -> array_to_string(t[i:i+2], ' '))
+                             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                             ELSE [] END
+                    ) AS s
+                FROM toks
+            ), e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+            inter AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       count(*) AS i
+                FROM e a JOIN e b ON a.g = b.g AND b.doc_id > a.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b,
+                   round(i / (ca.n + cb.n - i)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc_id_a
+            JOIN cnt cb ON cb.doc_id = doc_id_b
+            WHERE i / (ca.n + cb.n - i)::DOUBLE >= 0.8
         """,
         "knn_cosine": """
             WITH q AS (

@@ -332,6 +332,122 @@ def minhash_dup_pairs(
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
+# ------------------------------------------------ exact n-gram Jaccard --
+def ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.8, n: int = 3
+) -> pd.DataFrame:
+    """EXACT word-n-gram Jaccard near-dup pairs, fully distributed:
+    shingle-explode → co-partitioned pair counting (|A∩B|) → jaccard
+    with per-doc shingle counts. The shingle groupby is amortized over
+    coarse hash buckets (hot-shingle skew bounded by the combiner) —
+    this is the exact-verification complement to the MinHash+LSH
+    candidate generator. DuckDB oracle mirrors it exactly."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, grams = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for g in textops.shingles(text, n):
+                doc_ids.append(doc_id)
+                grams.append(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "g": pa.array(grams, pa.string()),
+                "coarse": pa.array(
+                    [zlib.crc32(x.encode("utf-8")) % 64 for x in grams],
+                    pa.int32(),
+                ),
+            }
+        )
+
+    shingle_rows = _read(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    # per-doc shingle counts (small result; at 10^12 scale this joins
+    # co-partitioned instead of broadcasting)
+    counts = (
+        shingle_rows.groupby("doc_id")
+        .count()
+        .to_pandas()
+        .set_index("doc_id")["count()"]
+        .to_dict()
+    )
+    counts_ref = ray.put(counts)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = [], []
+        for _, grp in g.groupby("g"):
+            ids = sorted(set(grp["doc_id"].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
+        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[int, int], int] = {}
+        for pa_, pb in zip(
+            batch["doc_id_a"].to_pylist(), batch["doc_id_b"].to_pylist()
+        ):
+            agg[(pa_, pb)] = agg.get((pa_, pb), 0) + 1
+        return pa.table(
+            {
+                "doc_id_a": pa.array([k[0] for k in agg], pa.int64()),
+                "doc_id_b": pa.array([k[1] for k in agg], pa.int64()),
+                "i": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    inter = (
+        shingle_rows.groupby("coarse")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(partial_count, batch_format="pyarrow")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(_Sum("i", alias_name="i"))
+    )
+
+    class Finalize:
+        def __init__(self):
+            self.counts = ray.get(counts_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows_a, rows_b, jac = [], [], []
+            for da, db, i in zip(
+                batch["doc_id_a"].to_pylist(),
+                batch["doc_id_b"].to_pylist(),
+                batch["i"].to_pylist(),
+            ):
+                union = self.counts[da] + self.counts[db] - i
+                j = i / union if union else 1.0
+                if j >= threshold:
+                    rows_a.append(da)
+                    rows_b.append(db)
+                    jac.append(round(j, 6))
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(rows_a, pa.int64()),
+                    "doc_id_b": pa.array(rows_b, pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+
+    out = inter.map_batches(
+        Finalize, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"doc_id_a": pd.Series([], dtype="int64"),
+             "doc_id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------- SimHash -----
 def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
     """64-bit SimHash over word features (crc32-hashed tokens)."""
