@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": R.segment_order_stats,
         "nation_supplier_revenue": R.nation_supplier_revenue,
         "customers_without_orders": R.customers_without_orders,
+        "above_average_customers": R.above_average_customers,
         "distinct_segments": R.distinct_segments,
         "returned_items_revenue": R.returned_items_revenue,
         "events_hourly": R.events_hourly,
@@ -182,6 +183,15 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "above_average_customers": """
+            WITH pc AS (
+                SELECT o_custkey, sum(o_totalprice) AS total_spend
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, round(total_spend, 2) AS total_spend
+            FROM pc
+            WHERE total_spend > (SELECT avg(total_spend) FROM pc)
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer

@@ -36,6 +36,23 @@ def direction_consistency(scorer, tagged_sentences: list[str]) -> dict:
     }
 
 
+def threshold_sweep(
+    got: pd.DataFrame,
+    expected: pd.DataFrame,
+    thresholds: tuple[float, ...] = (0.90, 0.95, 0.99),
+) -> pd.DataFrame:
+    """Per-threshold triple P/R (the reference's evaluation sweep at
+    score > 0.90/0.95/0.99, src/relation_extraction/misc.py:116-134):
+    keep predicted triples with score > t, compare to the full expected
+    set."""
+    rows = []
+    for t in thresholds:
+        kept = got[got["score"] > t]
+        pr = triple_pr(kept, expected)
+        rows.append({"threshold": t, **pr})
+    return pd.DataFrame(rows)
+
+
 def triple_pr(got: pd.DataFrame, expected: pd.DataFrame) -> dict:
     g = set(zip(got["subj"], got["pred"], got["obj"]))
     e = set(zip(expected["subj"], expected["pred"], expected["obj"]))

@@ -423,6 +423,35 @@ def top_users_per_event_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return top[["event_type", "rank", "user_id", "sum_value"]].reset_index(drop=True)
 
 
+# --------------------------------------- global-aggregate then filter ---
+def above_average_customers(sf_dir: str) -> pd.DataFrame:
+    """Customers whose total order value exceeds the global average
+    (two-pass pattern: small global aggregate computed first and
+    broadcast into the filter — no correlated re-scan)."""
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spend"))
+    )
+    avg_spend = per_cust.mean("total_spend")  # tiny global scalar
+
+    def keep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["total_spend"], avg_spend))
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "total_spend": pa.array(
+                    round_half_away(
+                        batch["total_spend"].to_numpy(zero_copy_only=False), 2
+                    )
+                ),
+            }
+        )
+
+    out = per_cust.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
 # ---------------------------------------------------- sessionization ----
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Per-user sessionization (gap > 30min starts a new session) via
