@@ -78,6 +78,9 @@ GAZETTEER: list[tuple[str, str | None]] = [
     ("Johnson and Johnson", None),
     ("Pfizer Inc", "Pfizer"),
     ("Merck and Co", "Merck"),
+    # substring-entity pathology (FIXTURES.md §2, cf. the reference's
+    # invalid_rows.json 2M/M cases): "3M" is a substring of "3M Company"
+    ("3M Company", "3M"),
 ]
 
 # Hub entities: appear in a large share of pages to create the

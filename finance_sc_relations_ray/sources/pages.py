@@ -43,8 +43,8 @@ def _make_sentences(rng: random.Random, reporter: str) -> list[str]:
     for _ in range(n_sent):
         kind = rng.choices(
             ["supplier_list", "customer_rev", "quote_alias", "or_alias",
-             "other", "single", "special"],
-            weights=[20, 25, 10, 10, 15, 10, 10],
+             "other", "single", "special", "possessive"],
+            weights=[20, 25, 10, 10, 15, 10, 8, 8],
         )[0]
         used = {reporter}
         if kind == "supplier_list":
@@ -78,11 +78,14 @@ def _make_sentences(rng: random.Random, reporter: str) -> list[str]:
             sents.append(f"{a} acquired {b} in March 2019.")
         elif kind == "single":
             sents.append(f"{reporter} announced quarterly results today.")
-        else:  # special chars — locks the byte-identical clean invariant
+        elif kind == "special":  # locks the byte-identical clean invariant
             b, c = _pick(rng, _FULL_NAMES, used, 2)
             sents.append(
                 f"{reporter} - and [its] partner  {b} supplied critical parts to {c}."
             )
+        else:  # possessive — stresses the ’s tagging path (preprocess.py:163-169)
+            b = _pick(rng, _FULL_NAMES, used, 1)[0]
+            sents.append(f"{b}’s customers rely on parts supplied to {reporter}.")
     # hub skew: ~30% of pages mention a hub supplier (SURVEY.md §7.4)
     if rng.random() < 0.3:
         hub = rng.choice([h for h in HUBS if h != reporter])
