@@ -66,6 +66,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _pages(sf_dir), num_partitions=8, page_local=False, fused=True
         )
 
+    def kg_training_data(sf_dir: str):
+        from finance_sc_relations_ray.pipelines.training_data import (
+            build_training_data,
+        )
+
+        return build_training_data(_pages(sf_dir))
+
     def kg_alias_items(sf_dir: str):
         from finance_sc_relations_ray.pipelines.kg import alias_items_dataset
 
@@ -130,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_relations": kg_doc_relations,
         "kg_alias_items": kg_alias_items,
         "kg_triples_shuffle_plan": kg_triples_shuffle_plan,
+        "kg_training_data": kg_training_data,  # non-SQL (seeded split/shuffle)
         # multimodal binary-column plumbing (non-SQL)
         "pages_binary_meta": pages_binary_meta,
         "pages_decode_stub": pages_decode_stub,

@@ -1,0 +1,189 @@
+"""Training-data creation — the reference's DVC load_data/data_split/
+train_preprocess stages (SURVEY.md §3.2, src/stages/data_split.py,
+src/relation_extraction/preprocessing_funcs.py:77-180) as one
+distributed pipeline:
+
+    pages → sentence scoring (stub-RE weak labels) → tagged pair rows
+          → doc-level stratified split (O4, split at DOCUMENT
+            granularity so no sentence leaks across train/valid —
+            preprocess.py:397-447)
+          → direction-inversion augmentation of the train split only
+          → seeded shuffle → train/valid parquet
+
+Deterministic end-to-end (seeded split + shuffle), so re-exports are
+byte-stable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import DEFAULT_CONFIG, KGConfig
+from ..functions.fuzzy import stratified_doc_split
+from ..functions.tagging import inverse_relations
+from ..config import INVERSE_RELATION
+from .kg import read_pages, sentences_dataset
+
+LABELS = ("supplier", "customer", "other")
+
+TRAIN_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("sents", pa.string()),       # tagged sentence (reference column name)
+        ("relations", pa.string()),   # label (reference column name)
+        ("entity1", pa.string()),
+        ("entity2", pa.string()),
+        ("split", pa.string()),
+    ]
+)
+
+
+class TaggedExampleActor:
+    """Sentence rows → one labeled tagged example per pair variant
+    (weak labels from the rule scorer; swap point for LLM labels via
+    functions/weak_labels.py)."""
+
+    def __init__(self, config: KGConfig = DEFAULT_CONFIG):
+        from ..stages.fused import SentencePairScorer
+
+        self.scorer = SentencePairScorer(config, reverse=False)
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.grouping import (
+            detect_alias_candidates,
+            filter_aliases,
+            group_entities,
+        )
+        from ..functions.names import encode_names, similarity
+        from ..functions.tagging import entity_annotation
+        from ..stages.scoring import _representative
+
+        cfg = self.config
+        out = {k: [] for k in ("url", "sents", "relations", "entity1", "entity2")}
+        for url, sent in zip(batch["url"].to_pylist(), batch["sent"].to_pylist()):
+            if self.scorer.supply_re.search(sent) is None:
+                continue
+            spans = self.scorer.tagger.spans(sent)
+            if not spans:
+                continue
+            ents = sorted({sp["text"] for sp in spans})
+            filtered = filter_aliases(
+                detect_alias_candidates(sent, ents), similarity,
+                cfg.alias_sim_threshold,
+            )
+            groups = group_entities(
+                ents, filtered, filtered,
+                dict(zip(ents, encode_names(ents))), cfg.group_threshold,
+            )
+            gids: dict[int, list[str]] = {}
+            for name, gid in groups.items():
+                gids.setdefault(gid, []).append(name)
+            if len(gids) < 2:
+                continue
+            group_ids = sorted(gids)
+            reps = {g: _representative(gids[g]) for g in group_ids}
+            for a in range(len(group_ids)):
+                for b in range(a + 1, len(group_ids)):
+                    e1, e2 = reps[group_ids[a]], reps[group_ids[b]]
+                    for tagged in entity_annotation(sent, e1, e2, groups, 1):
+                        sc = self.scorer._score(tagged)
+                        label = LABELS[max(range(3), key=lambda i: sc[i])]
+                        out["url"].append(url)
+                        out["sents"].append(tagged)
+                        out["relations"].append(label)
+                        out["entity1"].append(e1)
+                        out["entity2"].append(e2)
+        return pa.table({k: pa.array(v, pa.string()) for k, v in out.items()})
+
+
+def build_training_data(
+    pages_path: str,
+    config: KGConfig = DEFAULT_CONFIG,
+    valid_frac: float = 0.2,
+    augment: bool = True,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """pages parquet → labeled, split, (train-)augmented examples."""
+    sentences = sentences_dataset(read_pages(pages_path))
+    examples = sentences.map_batches(
+        TaggedExampleActor,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=config.ner_batch_size,
+        concurrency=config.ner_concurrency,
+        num_cpus=config.actor_num_cpus,
+    )
+
+    # doc-level stratified split: strata = the doc's majority label;
+    # the (small) url→split map is built from a per-doc label rollup
+    # and broadcast
+    def doc_label(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: dict[str, Counter] = {}
+        for url, rel in zip(batch["url"].to_pylist(), batch["relations"].to_pylist()):
+            counts.setdefault(url, Counter())[rel] += 1
+        urls = sorted(counts)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "doc_label": pa.array(
+                    [counts[u].most_common(1)[0][0] for u in urls], pa.string()
+                ),
+            }
+        )
+
+    doc_labels = (
+        examples.select_columns(["url", "relations"])
+        .map_batches(doc_label, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .to_pandas()
+    )
+    assign = stratified_doc_split(
+        doc_labels["url"].tolist(),
+        doc_labels["doc_label"].tolist(),
+        valid_frac,
+        seed_key=f"split-{seed}",
+    )
+    assign_ref = ray.put(assign)
+
+    class AddSplit:
+        def __init__(self):
+            self.assign = ray.get(assign_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            splits = [self.assign.get(u, "train") for u in batch["url"].to_pylist()]
+            return batch.append_column("split", pa.array(splits, pa.string()))
+
+    ds = examples.map_batches(
+        AddSplit, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
+    )
+
+    if augment:
+        # direction-inversion augmentation on TRAIN rows only
+        # (preprocessing_funcs.py:128-151)
+        def aug(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            extra = []
+            for r in rows:
+                if r["split"] == "train" and r["relations"] in ("supplier", "customer"):
+                    extra.append(
+                        {
+                            **r,
+                            "sents": inverse_relations(r["sents"]),
+                            "relations": INVERSE_RELATION[r["relations"]],
+                            "entity1": r["entity2"],
+                            "entity2": r["entity1"],
+                        }
+                    )
+            return pa.Table.from_pylist(rows + extra, schema=TRAIN_SCHEMA)
+
+        ds = ds.map_batches(aug, batch_format="pyarrow")
+
+    return ds.random_shuffle(seed=seed)
