@@ -305,14 +305,30 @@ def minhash_dup_pairs(
     # filtered distributed — only the candidate subset is materialized,
     # never the full table on the driver.
     need = sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"]))
-    need_ref = ray.put(set(need))
+    # broadcast a Bloom filter instead of the raw id set once it gets
+    # large (semi-join: false positives just fetch extra rows that the
+    # exact dict lookup below ignores — functions/bloom.py)
+    if len(need) > 10_000:
+        from ..functions.bloom import BloomFilter
+
+        need_ref = ray.put(BloomFilter.build(map(str, need)))
+
+        def member(summary, d):
+            return str(d) in summary
+    else:
+        need_ref = ray.put(set(need))
+
+        def member(summary, d):
+            return d in summary
 
     class FilterNeeded:
         def __init__(self):
             self.need = ray.get(need_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([d in self.need for d in batch["doc_id"].to_pylist()])
+            mask = pa.array(
+                [member(self.need, d) for d in batch["doc_id"].to_pylist()]
+            )
             return batch.filter(mask)
 
     sub = (
