@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": R.distinct_segments,
         "returned_items_revenue": R.returned_items_revenue,
         "events_hourly": R.events_hourly,
+        "distinct_user_count": R.distinct_user_count,
         "events_sliding": R.events_sliding,
         "top_users_per_event_type": R.top_users_per_event_type,
         "user_sessions": R.user_sessions,
@@ -208,6 +209,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    round((l_extendedprice * (1 - l_discount))::DECIMAL(18,4), 2)::DOUBLE AS revenue
             FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "distinct_user_count": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
         """,
         "events_hourly": """
             SELECT event_type,

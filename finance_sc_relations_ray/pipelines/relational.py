@@ -423,6 +423,25 @@ def top_users_per_event_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return top[["event_type", "rank", "user_id", "sum_value"]].reset_index(drop=True)
 
 
+# -------------------------------------------------- exact distinct ------
+def distinct_user_count(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct count via mergeable per-batch partials: each batch
+    emits its distinct user set (as rows), a tiny final distinct+count
+    closes it — the exact counterpart of an HLL sketch merge (ray_guide
+    'Aggregation at scale')."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": pa.array(
+                sorted(set(batch["user_id"].to_pylist())), pa.int64()
+            )}
+        )
+
+    n = len(ds.map_batches(partial, batch_format="pyarrow").unique("user_id"))
+    return pd.DataFrame({"n_users": [n]})
+
+
 # --------------------------------------- global-aggregate then filter ---
 def above_average_customers(sf_dir: str) -> pd.DataFrame:
     """Customers whose total order value exceeds the global average

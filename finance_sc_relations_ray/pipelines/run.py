@@ -161,6 +161,36 @@ def run_partitioned(
     return total
 
 
+def compact_parts(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
+    """Merge each partition's chunk files into few large files (the
+    small-file problem: every resumed chunk run appends a file per
+    part; readers want ≥100MB files). Atomic per part: write compacted
+    file(s) to a temp name, then delete the old chunks. Dead-letter and
+    manifest files are untouched."""
+    import pyarrow.parquet as pq_
+
+    stats = {"parts": 0, "files_before": 0, "files_after": 0}
+    for name in sorted(os.listdir(out_dir)):
+        pdir = os.path.join(out_dir, name)
+        if not name.startswith("part=") or not os.path.isdir(pdir):
+            continue
+        files = sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir)
+            if f.endswith(".parquet") and not f.startswith("compacted-")
+        )
+        if len(files) <= 1:
+            continue
+        table = pa.concat_tables([pq_.read_table(f) for f in files])
+        tmp = os.path.join(pdir, f"compacted-{time.monotonic_ns()}.parquet")
+        pq_.write_table(table, tmp, row_group_size=target_rows_per_file)
+        for f in files:
+            os.remove(f)
+        stats["parts"] += 1
+        stats["files_before"] += len(files)
+        stats["files_after"] += 1
+    return stats
+
+
 def merge_parts(out_dir: str) -> "ray.data.Dataset":
     """Final global dedup over the partitioned output (small pass:
     per-part aggregates are mergeable)."""

@@ -49,3 +49,18 @@ def test_interrupt_and_resume(pages_path, tmp_path):
     b = merge_parts(out2).to_pandas().sort_values(
         ["subj", "pred", "obj"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_compact_parts(pages_path, tmp_path):
+    from finance_sc_relations_ray.pipelines.run import compact_parts, merge_parts
+
+    out = str(tmp_path / "compact_out")
+    # two chunked runs produce multiple files per part
+    run_partitioned(pages_path, out, num_parts=4, parts_per_chunk=2)
+    before = merge_parts(out).to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+    stats = compact_parts(out)
+    after = merge_parts(out).to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+    assert before.equals(after)  # compaction is content-preserving
+    assert stats["files_after"] <= stats["files_before"]
