@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_quality_documents": T.filter_quality_documents,
         "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "heavy_hitter_tokens": T.heavy_hitter_tokens,
         "simhash_documents": T.simhash_documents,  # non-SQL (sketch)
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
@@ -376,6 +377,16 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "heavy_hitter_tokens": r"""
+            WITH t AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                FROM documents
+            ), tot AS (SELECT count(*) AS n FROM t)
+            SELECT tok, count(*) AS n_occurrences
+            FROM t, tot
+            GROUP BY tok, tot.n
+            HAVING count(*) >= 0.005 * tot.n
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

@@ -348,6 +348,41 @@ def minhash_dup_pairs(
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------- heavy hitters -----
+def heavy_hitter_tokens(sf_dir: str, min_fraction: float = 0.005) -> pd.DataFrame:
+    """Exact heavy-hitter tokens: words occurring in ≥ min_fraction of
+    all token occurrences. Two-phase: per-batch Counter partials →
+    groupby sum → filter against the (tiny) broadcast total. The
+    Misra-Gries sketch (functions/sketch.py) is the approximate scale
+    path, cross-validated in tests/test_sketch.py."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(t.lower() for t in text.split())
+        toks = sorted(c)
+        return pa.table(
+            {
+                "tok": pa.array(toks, pa.string()),
+                "n_occurrences": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(_Sum("n_occurrences", alias_name="n_occurrences"))
+        .to_pandas()
+    )
+    total = counts["n_occurrences"].sum()
+    out = counts[counts["n_occurrences"] >= min_fraction * total]
+    return out.sort_values("tok").reset_index(drop=True)
+
+
 # ------------------------------------------------ exact n-gram Jaccard --
 def ngram_jaccard_pairs(
     sf_dir: str, threshold: float = 0.8, n: int = 3

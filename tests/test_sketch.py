@@ -1,0 +1,52 @@
+"""Misra-Gries sketch: frequency guarantee, mergeability, and
+cross-validation against the exact heavy-hitter query on real
+testdata."""
+
+import pyarrow.parquet as pq
+
+from finance_sc_relations_ray.functions.sketch import MisraGries
+from finance_sc_relations_ray.pipelines.text import heavy_hitter_tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mg_guarantee_on_skewed_stream():
+    stream = ["hot"] * 500 + [f"cold{i}" for i in range(2000)]
+    mg = MisraGries(k=64)
+    for x in stream:
+        mg.add(x)
+    assert "hot" in mg.counts  # freq 500 > n/k ≈ 39 → must survive
+    # estimate undercounts by at most n/k
+    assert mg.counts["hot"] >= 500 - mg.n / mg.k
+
+
+def test_mg_merge_equivalent_guarantee():
+    stream = ["hot"] * 300 + [f"c{i}" for i in range(1500)]
+    a, b = MisraGries(k=64), MisraGries(k=64)
+    for i, x in enumerate(stream):
+        (a if i % 2 else b).add(x)
+    merged = a.merge(b)
+    assert merged.n == len(stream)
+    assert "hot" in merged.counts
+    assert "hot" in merged.candidates(min_fraction=0.1)
+
+
+def test_sketch_superset_of_exact_heavy_hitters():
+    """Distributed per-batch sketches merged must cover every exact
+    heavy hitter from the oracle-gated query."""
+    exact = set(heavy_hitter_tokens(SF, min_fraction=0.005)["tok"])
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    # simulate per-batch sketching + merge
+    sketches = []
+    texts = t["text"].to_pylist()
+    for off in range(0, len(texts), 100):
+        mg = MisraGries(k=2048)
+        for text in texts[off : off + 100]:
+            for tok in text.split():
+                mg.add(tok.lower())
+        sketches.append(mg)
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+    cand = set(merged.candidates(min_fraction=0.005))
+    assert exact <= cand, sorted(exact - cand)
