@@ -266,9 +266,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM sess GROUP BY user_id, sess_id
             )
             SELECT user_id,
-                   count(*)  AS n_sessions,
-                   max(n)    AS max_session_events,
-                   sum(n)    AS n_events
+                   count(*)          AS n_sessions,
+                   max(n)            AS max_session_events,
+                   sum(n)::BIGINT    AS n_events
             FROM counts GROUP BY user_id
         """,
         "clean_documents": f"""

@@ -3,19 +3,23 @@
 At 10^12-row scale a raw key SET is too large to broadcast; a Bloom
 filter at ~10 bits/key (<1% false positives) ships a key-membership
 summary in ~1/30 the bytes (ray_guide 'Joins and lookups': "broadcast
-the key set (or a Bloom filter of it)"). Semi-joins stay exact when
-false positives are acceptable or re-checked downstream; anti-joins
-use the no-false-NEGATIVE guarantee (a key reported absent is truly
-absent).
+the key set (or a Bloom filter of it)"). Semi-joins must re-check
+positives against an exact structure downstream (as the minhash
+candidate fetch does); for anti-joins only the no-false-NEGATIVE
+guarantee is exact — a false POSITIVE silently drops a row, so use the
+filter for anti-joins only as a pre-prune before an exact recheck.
 
-Deterministic hashing (crc32 double-hashing, Kirsch-Mitzenmacher 2006)
-— stable across processes.
+Deterministic hashing: two independent 64-bit blake2b digests drive
+Kirsch-Mitzenmacher double hashing — stable across processes. (crc32
+pairs are NOT independent: CRC is affine in the message, so two seeds
+differ by a length-dependent constant and all k probes collapse to a
+function of one 32-bit value.)
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
-import zlib
 
 import numpy as np
 
@@ -29,8 +33,14 @@ class BloomFilter:
 
     def _hashes(self, key: str) -> list[int]:
         data = key.encode("utf-8")
-        h1 = zlib.crc32(data)
-        h2 = zlib.crc32(data, 0x9E3779B9) | 1
+        h1 = int.from_bytes(
+            hashlib.blake2b(data, digest_size=8, person=b"bloom-h1").digest(),
+            "little",
+        )
+        h2 = int.from_bytes(
+            hashlib.blake2b(data, digest_size=8, person=b"bloom-h2").digest(),
+            "little",
+        ) | 1
         return [(h1 + i * h2) % self.m for i in range(self.k)]
 
     def add(self, key: str) -> None:

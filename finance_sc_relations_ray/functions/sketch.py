@@ -24,19 +24,22 @@ class MisraGries:
         c = self.counts
         if item in c:
             c[item] += weight
-        elif len(c) < self.k - 1:
-            c[item] = weight
-        else:
-            # decrement-all; drop zeros (classic MG step, vectorized-ish)
-            dec = weight
-            m = min(c.values()) if c else 0
-            dec = min(dec, m) if m else dec
-            if dec <= 0:
-                dec = weight
+            return
+        # classic MG step, looped until the full weight is absorbed: a
+        # weighted add either lands in a free slot or decrements every
+        # counter by min(remaining, min_count); dropped zeros free a
+        # slot for the residual, preserving the ≤ n/k undercount bound
+        # even for weight ≫ 1.
+        while weight > 0:
+            if len(c) < self.k - 1:
+                c[item] = weight
+                return
+            dec = min(weight, min(c.values()))
             for key in list(c.keys()):
                 c[key] -= dec
                 if c[key] <= 0:
                     del c[key]
+            weight -= dec
 
     def merge(self, other: "MisraGries") -> "MisraGries":
         out = MisraGries(self.k)

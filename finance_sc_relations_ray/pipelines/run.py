@@ -164,9 +164,14 @@ def run_partitioned(
 def compact_parts(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
     """Merge each partition's chunk files into few large files (the
     small-file problem: every resumed chunk run appends a file per
-    part; readers want ≥100MB files). Atomic per part: write compacted
-    file(s) to a temp name, then delete the old chunks. Dead-letter and
-    manifest files are untouched."""
+    part; readers want ≥100MB files). Crash-safe per part: the merged
+    table is written to a non-``.parquet`` temp name (invisible to
+    readers), fsynced, the old chunks are removed, and only then is the
+    temp renamed to its final ``.parquet`` name — a crash at any point
+    leaves readers seeing each row exactly once (either all old chunks,
+    or the renamed compacted file). Existing ``compacted-*`` files are
+    part of the input set, so reruns converge instead of duplicating.
+    Dead-letter and manifest files are untouched."""
     import pyarrow.parquet as pq_
 
     stats = {"parts": 0, "files_before": 0, "files_after": 0}
@@ -174,17 +179,27 @@ def compact_parts(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
         pdir = os.path.join(out_dir, name)
         if not name.startswith("part=") or not os.path.isdir(pdir):
             continue
+        # recover from a previous crash mid-compaction: temp files were
+        # never visible to readers and their source chunks still exist
+        for f in os.listdir(pdir):
+            if f.endswith(".compacting.tmp"):
+                os.remove(os.path.join(pdir, f))
         files = sorted(
             os.path.join(pdir, f) for f in os.listdir(pdir)
-            if f.endswith(".parquet") and not f.startswith("compacted-")
+            if f.endswith(".parquet")
         )
         if len(files) <= 1:
             continue
         table = pa.concat_tables([pq_.read_table(f) for f in files])
-        tmp = os.path.join(pdir, f"compacted-{time.monotonic_ns()}.parquet")
+        stamp = time.monotonic_ns()
+        tmp = os.path.join(pdir, f"compacted-{stamp}.compacting.tmp")
+        final = os.path.join(pdir, f"compacted-{stamp}.parquet")
         pq_.write_table(table, tmp, row_group_size=target_rows_per_file)
+        with open(tmp, "rb") as fh:
+            os.fsync(fh.fileno())
         for f in files:
             os.remove(f)
+        os.rename(tmp, final)
         stats["parts"] += 1
         stats["files_before"] += len(files)
         stats["files_after"] += 1

@@ -4,76 +4,125 @@ A bare ``groupby(key).map_groups`` ships every row of a hot key to one
 task (the Apple/Samsung-hub problem, SURVEY.md §7.4). These helpers
 implement the combiner pattern the north rule asks for explicitly:
 
-- ``partial_agg_batches``: inside ``map_batches``, collapse each batch
+- ``partial_dedup_batch``: inside ``map_batches``, collapse each batch
   to one row per key (a per-batch combiner — this is the "salt": the
   partial key-space is (key × batch), so no single reducer sees more
   than #batches rows per key);
-- a final small ``groupby(keys).aggregate`` merges the partials.
+- a final small ``groupby(keys).map_groups`` merges the partials with
+  the same merge function (the merge is associative + commutative, so
+  combiner-then-merge equals a single global pass).
 
-Used by the triple dedup (stages/triples.py) and reusable for any
-sum/max/count-shaped aggregate.
+Merge semantics per key (matching the reference's per-item payload,
+reference src/relation_extraction/reporter.py:39-73 — ``sentenceIds``,
+``extractedNameId``, ``extractedNameCandidateIds``):
+
+- ``score``        → max
+- ``n_mentions``   → sum
+- ``subj_id`` / ``obj_id`` → min non-null (a deterministic
+  "first non-null": linking is name-keyed so ids agree across
+  mentions; min makes the pick independent of batch order)
+- ``url``          → min (deterministic witness document)
+- ``sentence_ids`` → sorted union, capped at ``SENTENCE_IDS_CAP``
+  (bounded: a mega-triple mentioned on 10^9 pages must not grow an
+  unbounded list; ``n_mentions`` keeps the true count)
+
+Payload columns are merged only if present, so the same helper serves
+the partitioned runner (extra ``part`` key) and bare (subj,pred,obj)
+dedup.
 """
 
 from __future__ import annotations
 
-from typing import Callable
-
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Max, Sum
+
+SENTENCE_IDS_CAP = 64
+
+# payload columns (merged when present); anything else non-key is dropped
+_PAYLOAD = ("score", "n_mentions", "subj_id", "obj_id", "url", "sentence_ids")
+
+_PAYLOAD_TYPES = {
+    "score": pa.float32(),
+    "n_mentions": pa.int64(),
+    "subj_id": pa.string(),
+    "obj_id": pa.string(),
+    "url": pa.string(),
+    "sentence_ids": pa.list_(pa.int64()),
+}
+
+
+def _min_nonnull(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return min(a, b)
 
 
 def partial_dedup_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
-    """Per-batch combiner for exact dedup with (max score, summed
-    n_mentions) merge semantics."""
-    agg: dict[tuple, list] = {}
-    score = batch["score"].to_pylist()
-    n = (
-        batch["n_mentions"].to_pylist()
-        if "n_mentions" in batch.column_names
-        else [1] * batch.num_rows
-    )
+    """Per-batch combiner: one row per key with merged payload."""
+    present = [c for c in _PAYLOAD if c in batch.column_names]
+    agg: dict[tuple, dict] = {}
     key_cols = [batch[k].to_pylist() for k in keys]
+    val_cols = {c: batch[c].to_pylist() for c in present}
+    has_n = "n_mentions" in val_cols
     for i in range(batch.num_rows):
         k = tuple(col[i] for col in key_cols)
         cur = agg.get(k)
         if cur is None:
-            agg[k] = [score[i], n[i]]
-        else:
-            cur[0] = max(cur[0], score[i])
-            cur[1] += n[i]
+            cur = agg[k] = {c: val_cols[c][i] for c in present}
+            if not has_n:
+                cur["n_mentions"] = 1
+            sids = cur.get("sentence_ids")
+            if sids is not None:
+                cur["sentence_ids"] = set(sids)
+            continue
+        if "score" in cur:
+            cur["score"] = max(cur["score"], val_cols["score"][i])
+        cur["n_mentions"] += val_cols["n_mentions"][i] if has_n else 1
+        for c in ("subj_id", "obj_id"):
+            if c in cur:
+                cur[c] = _min_nonnull(cur[c], val_cols[c][i])
+        if "url" in cur:
+            cur["url"] = _min_nonnull(cur["url"], val_cols["url"][i])
+        if "sentence_ids" in cur:
+            cur["sentence_ids"].update(val_cols["sentence_ids"][i] or ())
+
+    out_names = [c for c in present if c != "n_mentions"]
     cols: dict[str, list] = {k: [] for k in keys}
-    cols["score"] = []
+    for c in out_names:
+        cols[c] = []
     cols["n_mentions"] = []
-    for k, (s, c) in agg.items():
-        for name, v in zip(keys, k):
-            cols[name].append(v)
-        cols["score"].append(s)
-        cols["n_mentions"].append(c)
+    for k, v in agg.items():
+        for name, kv in zip(keys, k):
+            cols[name].append(kv)
+        for c in out_names:
+            if c == "sentence_ids":
+                cols[c].append(sorted(v[c])[:SENTENCE_IDS_CAP])
+            else:
+                cols[c].append(v[c])
+        cols["n_mentions"].append(v["n_mentions"])
     key_types = {k: batch.schema.field(k).type for k in keys}
-    return pa.table(
-        {
-            **{k: pa.array(cols[k], type=key_types[k]) for k in keys},
-            "score": pa.array(cols["score"], type=pa.float32()),
-            "n_mentions": pa.array(cols["n_mentions"], type=pa.int64()),
-        }
-    )
+    arrays = {k: pa.array(cols[k], type=key_types[k]) for k in keys}
+    for c in out_names:
+        arrays[c] = pa.array(cols[c], type=_PAYLOAD_TYPES[c])
+    arrays["n_mentions"] = pa.array(cols["n_mentions"], type=pa.int64())
+    return pa.table(arrays)
 
 
 def salted_dedup(
     ds: "ray.data.Dataset", keys: list[str]
 ) -> "ray.data.Dataset":
-    """Two-phase exact dedup: per-batch combiner → tiny final groupby.
+    """Two-phase exact dedup: per-batch combiner → tiny final merge.
 
     The final all-to-all only moves one row per (key, batch) — bounded
-    regardless of key skew.
+    regardless of key skew; the group-side merge reuses the combiner
+    (associative merge), so per-group input is ≤ #batches rows.
     """
     partial = ds.map_batches(
         lambda b: partial_dedup_batch(b, keys), batch_format="pyarrow"
     )
-    out = partial.groupby(keys).aggregate(
-        Max("score", alias_name="score"),
-        Sum("n_mentions", alias_name="n_mentions"),
+    return partial.groupby(keys).map_groups(
+        lambda g: partial_dedup_batch(g, keys), batch_format="pyarrow"
     )
-    return out

@@ -19,20 +19,30 @@ import pyarrow as pa
 from finance_sc_relations_ray.config import DEFAULT_CONFIG, KGConfig
 from finance_sc_relations_ray.stages import extract, ner, scoring
 from finance_sc_relations_ray.stages.doc_agg import aggregate_doc
-from finance_sc_relations_ray.stages.link import PrefixIndex
+from finance_sc_relations_ray.stages.link import Linker
+from finance_sc_relations_ray.stages.shuffle import SENTENCE_IDS_CAP
 from finance_sc_relations_ray.gazetteer import company_db_table
+
+
+def _min_nonnull(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return min(a, b)
 
 
 def expected_triples(
     pages: pa.Table, config: KGConfig = DEFAULT_CONFIG
 ) -> pd.DataFrame:
-    """pages table → deduplicated (subj, pred, obj, score, n_mentions)."""
+    """pages table → deduplicated triples with the full KG payload
+    (subj/obj entity ids, witness url, capped sentence-id union)."""
     ner_actor = ner.NerActor(config)
     sc_actor = scoring.ScGateActor(config)
     re_actor = scoring.ReScorerActor(config)
-    index = PrefixIndex(company_db_table(), config.prefix_len)
+    linker = Linker(company_db_table(), config)
 
-    triples: dict[tuple[str, str, str], list] = {}
+    triples: dict[tuple[str, str, str], dict] = {}
     for page in pages.to_pylist():
         if page["lang"] != "en":
             continue
@@ -53,25 +63,42 @@ def expected_triples(
         for row in doc_rel:
             if row["relation"] not in config.main_relations:
                 continue
+            eid, _, _ = linker.link(row["company"])
+            rid, _, _ = linker.link(row["reporter"])
             if row["relation"] == "supplier":
-                subj, obj = row["company"], row["reporter"]
+                subj, obj, sid, oid = row["company"], row["reporter"], eid, rid
             else:
-                subj, obj = row["reporter"], row["company"]
+                subj, obj, sid, oid = row["reporter"], row["company"], rid, eid
             key = (subj, config.canonical_pred, obj)
             cur = triples.get(key)
             if cur is None:
-                triples[key] = [float(row["score"]), 1]
+                triples[key] = {
+                    "score": float(row["score"]),
+                    "n": 1,
+                    "subj_id": sid,
+                    "obj_id": oid,
+                    "url": url,
+                    "sids": set(row["sentence_ids"]),
+                }
             else:
-                cur[0] = max(cur[0], float(row["score"]))
-                cur[1] += 1
+                cur["score"] = max(cur["score"], float(row["score"]))
+                cur["n"] += 1
+                cur["subj_id"] = _min_nonnull(cur["subj_id"], sid)
+                cur["obj_id"] = _min_nonnull(cur["obj_id"], oid)
+                cur["url"] = min(cur["url"], url)
+                cur["sids"].update(row["sentence_ids"])
 
     rows = [
         {"subj": k[0], "pred": k[1], "obj": k[2],
-         "score": round(v[0], 4), "n_mentions": v[1]}
+         "score": round(v["score"], 4), "n_mentions": v["n"],
+         "subj_id": v["subj_id"], "obj_id": v["obj_id"], "url": v["url"],
+         "sentence_ids": sorted(v["sids"])[:SENTENCE_IDS_CAP]}
         for k, v in triples.items()
     ]
     return (
-        pd.DataFrame(rows, columns=["subj", "pred", "obj", "score", "n_mentions"])
+        pd.DataFrame(rows, columns=["subj", "pred", "obj", "score",
+                                    "n_mentions", "subj_id", "obj_id",
+                                    "url", "sentence_ids"])
         .sort_values(["subj", "pred", "obj"])
         .reset_index(drop=True)
     )

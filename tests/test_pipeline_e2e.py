@@ -31,7 +31,16 @@ def test_kg_pipeline_matches_oracle(pages_path):
     got = got[exp.columns]
     assert len(got) == len(exp), (len(got), len(exp))
     for col in exp.columns:
-        assert got[col].tolist() == exp[col].tolist(), col
+        if col == "sentence_ids":
+            assert [list(x) for x in got[col]] == [
+                list(x) for x in exp[col]
+            ], col
+        else:
+            assert got[col].tolist() == exp[col].tolist(), col
+    # payload sanity: the dedup must not have dropped linkage — at least
+    # one triple carries a resolved entity id and a non-empty witness
+    assert got["url"].notna().all()
+    assert any(len(x) > 0 for x in got["sentence_ids"])
 
 
 def test_kg_pipeline_deterministic_across_runs(pages_path):
