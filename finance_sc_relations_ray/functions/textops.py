@@ -16,7 +16,12 @@ import re
 # terminators. RE2-safe (no lookbehind); DuckDB equivalent:
 #   regexp_extract_all(text, '[^.!?]+[.!?]*')
 _SENT_RE = re.compile(r"[^.!?]+[.!?]*")
-_TOKEN_RE = re.compile(r"\S+")
+# Tokens: RE2 '\S+' parity. RE2's \s is the ASCII class [\t\n\f\r ]
+# while Python's Unicode \s also matches NBSP/\v/… — spelling the ASCII
+# class out keeps Python and the DuckDB oracle splitting identically on
+# non-ASCII whitespace (U+00A0 is a TOKEN character in both). Case
+# mapping still uses str.lower(); parity is documented ASCII-only.
+_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
 _PUNCT_CLASS_RE = re.compile(r"[.,;:!?]")
 
 # Tiny per-language stopword alternations (word-boundary, lowercase).
@@ -73,6 +78,11 @@ def fingerprint(text: str) -> str:
     """Document fingerprint: md5 hex of the raw text bytes (DuckDB:
     ``md5(text)``)."""
     return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def tokens_lower(text: str) -> list[str]:
+    """Lowercased whitespace tokens (RE2-'\\S+'-parity split)."""
+    return [t.lower() for t in _TOKEN_RE.findall(text)]
 
 
 def shingles(text: str, n: int = 3) -> set[str]:

@@ -246,11 +246,20 @@ class MinHashActor:
         )
 
 
+def _hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (two crc32 lanes), as int64."""
+    h = zlib.crc32(s.encode("utf-8")) | (
+        zlib.crc32(s[::-1].encode("utf-8")) << 32
+    )
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def minhash_dup_pairs(
     sf_dir: str,
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
+    max_bucket_docs: int = 1000,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified with exact word-
     3-gram Jaccard (shingle → minhash → band → bucket groupby →
@@ -280,6 +289,20 @@ def minhash_dup_pairs(
         a, b = [], []
         for (_, _), grp in g.groupby(["band_id", "band_hash"]):
             ids = sorted(set(grp["doc_id"].tolist()))
+            if len(ids) > max_bucket_docs:
+                # degenerate bucket (e.g. near-empty docs sharing a
+                # signature): all-pairs would be O(n²) unbounded. Emit
+                # the STAR to the min id instead — for duplicate-cluster
+                # purposes connectivity to one representative suffices,
+                # and the exact verify stage still gates every emitted
+                # pair. Logged so a silent cap never reads as coverage.
+                print(
+                    f"[minhash] degenerate LSH bucket: {len(ids)} docs "
+                    f"> cap {max_bucket_docs}; emitting star pairs only"
+                )
+                a.extend([ids[0]] * (len(ids) - 1))
+                b.extend(ids[1:])
+                continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a.append(ids[i])
@@ -300,10 +323,12 @@ def minhash_dup_pairs(
         )
     cand = cand.drop_duplicates().astype({"doc_id_a": "int64", "doc_id_b": "int64"})
 
-    # verify with exact shingle Jaccard. Scale-correct text fetch: the
-    # candidate id set (small) is broadcast and the documents DATASET is
-    # filtered distributed — only the candidate subset is materialized,
-    # never the full table on the driver.
+    # verify with exact shingle Jaccard — fully distributed: only the
+    # candidate PAIR IDS (the small end of the funnel) touch the
+    # driver; document text never does. The candidate doc subset is
+    # semi-join-pruned from the documents dataset, reduced to distinct
+    # 64-bit shingle hashes, and joined to the pairs twice via the
+    # co-partitioned bucket join (stages/joins.py).
     need = sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"]))
     # broadcast a Bloom filter instead of the raw id set once it gets
     # large (semi-join: false positives just fetch extra rows that the
@@ -331,20 +356,77 @@ def minhash_dup_pairs(
             )
             return batch.filter(mask)
 
+    def to_shingle_hashes(batch: pa.Table) -> pa.Table:
+        """doc rows → (doc_id, sh: distinct 64-bit shingle hashes).
+        Hashing the shingles makes the per-doc payload compact and the
+        set Jaccard exact up to 64-bit collisions (~n²/2⁶⁵ — nil)."""
+        ids, hs = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            ids.append(doc_id)
+            hs.append(sorted(_hash64(s) for s in textops.shingles(text, 3)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(hs, pa.list_(pa.int64())),
+            }
+        )
+
+    from ..stages.joins import bucket_lookup_join
+
+    # candidate-doc shingle sets: small side (candidates only), kept in
+    # the object store (materialized once, consumed by both joins)
     sub = (
         _read(sf_dir, ["doc_id", "text"])
         .map_batches(FilterNeeded, batch_format="pyarrow",
                      concurrency=(1, 2), num_cpus=0.5)
-        .to_pandas()
+        .map_batches(to_shingle_hashes, batch_format="pyarrow")
+        .materialize()
     )
-    tmap = dict(zip(sub["doc_id"], sub["text"]))
-    sh = {d: textops.shingles(tmap[d], 3) for d in need}
-    jac = [
-        textops.jaccard(sh[a], sh[b])
-        for a, b in zip(cand["doc_id_a"], cand["doc_id_b"])
-    ]
-    cand["jaccard"] = np.round(jac, 6)
-    out = cand[cand["jaccard"] >= jaccard_threshold]
+    pairs_ds = ray.data.from_pandas(cand[["doc_id_a", "doc_id_b"]])
+    schema1 = pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())])
+    lt = pa.list_(pa.int64())
+    j1 = bucket_lookup_join(
+        pairs_ds, sub, on="doc_id_a", right_key="doc_id",
+        payload={"sh": "sh_a"}, left_schema=schema1,
+        payload_types={"sh_a": lt}, num_buckets=32,
+    )
+    schema2 = schema1.append(pa.field("sh_a", lt))
+    j2 = bucket_lookup_join(
+        j1, sub, on="doc_id_b", right_key="doc_id",
+        payload={"sh": "sh_b"}, left_schema=schema2,
+        payload_types={"sh_b": lt}, num_buckets=32,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids, b_ids, jac = [], [], []
+        for da, db, sa, sb in zip(
+            batch["doc_id_a"].to_pylist(),
+            batch["doc_id_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            j = textops.jaccard(set(sa), set(sb))
+            if j >= jaccard_threshold:
+                a_ids.append(da)
+                b_ids.append(db)
+                jac.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_id_a": pa.array(a_ids, pa.int64()),
+                "doc_id_b": pa.array(b_ids, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"doc_id_a": pd.Series([], dtype="int64"),
+             "doc_id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
@@ -362,7 +444,10 @@ def heavy_hitter_tokens(sf_dir: str, min_fraction: float = 0.005) -> pd.DataFram
 
         c: Counter = Counter()
         for text in batch["text"].to_pylist():
-            c.update(t.lower() for t in text.split())
+            # RE2-parity tokenization (ASCII-whitespace split + lower;
+            # see textops._TOKEN_RE) so the DuckDB oracle's
+            # regexp_extract_all(lower(text), '\S+') counts identically
+            c.update(textops.tokens_lower(text))
         toks = sorted(c)
         return pa.table(
             {
@@ -385,14 +470,20 @@ def heavy_hitter_tokens(sf_dir: str, min_fraction: float = 0.005) -> pd.DataFram
 
 # ------------------------------------------------ exact n-gram Jaccard --
 def ngram_jaccard_pairs(
-    sf_dir: str, threshold: float = 0.8, n: int = 3
+    sf_dir: str, threshold: float = 0.8, n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> pd.DataFrame:
     """EXACT word-n-gram Jaccard near-dup pairs, fully distributed:
-    shingle-explode → co-partitioned pair counting (|A∩B|) → jaccard
-    with per-doc shingle counts. The shingle groupby is amortized over
-    coarse hash buckets (hot-shingle skew bounded by the combiner) —
-    this is the exact-verification complement to the MinHash+LSH
-    candidate generator. DuckDB oracle mirrors it exactly."""
+    shingle-explode → co-partitioned pair counting (|A∩B|) → per-doc
+    shingle counts attached via the co-partitioned bucket join
+    (stages/joins.py — no driver-side count map, no broadcast dict).
+    The shingle groupby is amortized over coarse hash buckets; this is
+    the exact-verification complement to the MinHash+LSH candidate
+    generator. DuckDB oracle mirrors it exactly when
+    ``max_doc_freq=None``; setting it drops shingles shared by more
+    than that many docs (the standard hot-shingle prefilter for the
+    scale path — pairs sharing ONLY ultra-common shingles are below any
+    useful threshold anyway), logged, at the cost of exactness."""
 
     def explode(batch: pa.Table) -> pa.Table:
         doc_ids, grams = [], []
@@ -417,21 +508,31 @@ def ngram_jaccard_pairs(
         explode, batch_format="pyarrow"
     )
 
-    # per-doc shingle counts (small result; at 10^12 scale this joins
-    # co-partitioned instead of broadcasting)
-    counts = (
+    # per-doc shingle counts: one row per doc, kept distributed in the
+    # object store (materialized once, consumed by both join passes —
+    # never a driver dict)
+    counts_ds = (
         shingle_rows.groupby("doc_id")
         .count()
-        .to_pandas()
-        .set_index("doc_id")["count()"]
-        .to_dict()
+        .map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"], "n": b["count()"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    counts_ref = ray.put(counts)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = [], []
-        for _, grp in g.groupby("g"):
+        for gram, grp in g.groupby("g"):
             ids = sorted(set(grp["doc_id"].tolist()))
+            if max_doc_freq is not None and len(ids) > max_doc_freq:
+                print(
+                    f"[ngram-jaccard] dropping hot shingle "
+                    f"(df={len(ids)} > {max_doc_freq}): {gram[:40]!r}"
+                )
+                continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a.append(ids[i])
@@ -462,34 +563,46 @@ def ngram_jaccard_pairs(
         .aggregate(_Sum("i", alias_name="i"))
     )
 
-    class Finalize:
-        def __init__(self):
-            self.counts = ray.get(counts_ref)
+    from ..stages.joins import bucket_lookup_join
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows_a, rows_b, jac = [], [], []
-            for da, db, i in zip(
-                batch["doc_id_a"].to_pylist(),
-                batch["doc_id_b"].to_pylist(),
-                batch["i"].to_pylist(),
-            ):
-                union = self.counts[da] + self.counts[db] - i
-                j = i / union if union else 1.0
-                if j >= threshold:
-                    rows_a.append(da)
-                    rows_b.append(db)
-                    jac.append(round(j, 6))
-            return pa.table(
-                {
-                    "doc_id_a": pa.array(rows_a, pa.int64()),
-                    "doc_id_b": pa.array(rows_b, pa.int64()),
-                    "jaccard": pa.array(jac, pa.float64()),
-                }
-            )
+    schema1 = pa.schema(
+        [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("i", pa.int64())]
+    )
+    j1 = bucket_lookup_join(
+        inter, counts_ds, on="doc_id_a", right_key="doc_id",
+        payload={"n": "n_a"}, left_schema=schema1,
+        payload_types={"n_a": pa.int64()}, num_buckets=64,
+    )
+    j2 = bucket_lookup_join(
+        j1, counts_ds, on="doc_id_b", right_key="doc_id",
+        payload={"n": "n_b"}, left_schema=schema1.append(pa.field("n_a", pa.int64())),
+        payload_types={"n_b": pa.int64()}, num_buckets=64,
+    )
 
-    out = inter.map_batches(
-        Finalize, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
-    ).to_pandas()
+    def finalize(batch: pa.Table) -> pa.Table:
+        rows_a, rows_b, jac = [], [], []
+        for da, db, i, na, nb in zip(
+            batch["doc_id_a"].to_pylist(),
+            batch["doc_id_b"].to_pylist(),
+            batch["i"].to_pylist(),
+            batch["n_a"].to_pylist(),
+            batch["n_b"].to_pylist(),
+        ):
+            union = na + nb - i
+            j = i / union if union else 1.0
+            if j >= threshold:
+                rows_a.append(da)
+                rows_b.append(db)
+                jac.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_id_a": pa.array(rows_a, pa.int64()),
+                "doc_id_b": pa.array(rows_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    out = j2.map_batches(finalize, batch_format="pyarrow").to_pandas()
     if out.empty:
         out = pd.DataFrame(
             {"doc_id_a": pd.Series([], dtype="int64"),
@@ -501,24 +614,31 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------- SimHash -----
 def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
-    """64-bit SimHash over word features (crc32-hashed tokens)."""
+    """64-bit SimHash over word features (crc32-hashed tokens),
+    vectorized: per doc, UNIQUE tokens are hashed once, their 64 bits
+    unpacked in one ``np.unpackbits`` call, and the signed bit tally is
+    a count-weighted matvec — no per-bit Python loop (the round-1
+    version burned 64 interpreter iterations per token)."""
+    assert bits == 64
 
     def f(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
-            toks = [t.lower() for t in text.split()]
-            acc = np.zeros(bits, dtype=np.int64)
-            for t in toks:
-                h = zlib.crc32(t.encode("utf-8")) | (
-                    zlib.crc32(t[::-1].encode("utf-8")) << 32
-                )
-                for i in range(bits):
-                    acc[i] += 1 if (h >> i) & 1 else -1
-            val = 0
-            for i in range(bits):
-                if acc[i] > 0:
-                    val |= 1 << i
-            out.append(np.int64(np.uint64(val).astype(np.int64)))
+        out = np.zeros(batch.num_rows, dtype=np.int64)
+        for r, text in enumerate(batch["text"].to_pylist()):
+            toks = textops.tokens_lower(text)
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            h = np.fromiter(
+                (_hash64(t) for t in uniq), dtype=np.int64, count=len(uniq)
+            ).view(np.uint64)
+            # (n_tok, 64) bit matrix; bit i of row t == (h[t] >> i) & 1
+            bit_mat = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            acc = 2 * (counts @ bit_mat) - counts.sum()
+            sign = (acc > 0).astype(np.uint8)
+            out[r] = np.packbits(sign, bitorder="little").view(np.int64)[0]
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
         )

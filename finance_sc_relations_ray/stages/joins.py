@@ -1,0 +1,129 @@
+"""Co-partitioned bucket lookup join — the broadcast-free small×large
+join primitive.
+
+``bucket_lookup_join(left, right, ...)`` attaches columns of ``right``
+to the rows of ``left`` that match on a key, WITHOUT materializing
+either side on the driver and WITHOUT broadcasting: both sides are
+hash-bucketed on the key (``crc32(str(key)) % num_buckets``), unioned,
+and a single ``groupby(bucket).map_groups`` builds a per-bucket dict
+from the right rows and maps the left rows through it.
+
+This is the Ray-Data composition for the joins the reference runs in
+SQL (Athena JOIN, src/glue/glue_etl.py) re-expressed as
+map_batches + groupby per the custom-operator guidance: no all-pairs
+blowup, one all-to-all exchange, skew bounded by the hash bucketing
+(a single hot KEY still lands in one bucket — salt upstream if a key's
+right-side payload itself is huge).
+
+Partitioning assumption (documented per the north rule): each bucket's
+RIGHT-side rows must fit in one task's heap (~|right| / num_buckets
+— size ``num_buckets`` to the right table, not the left). The left
+side streams through the same exchange but is never dict-materialized.
+
+Used by ``pipelines/text.py`` to replace two driver-side dicts flagged
+in round 1: the per-doc shingle-count map of the exact-Jaccard path and
+the candidate-text fetch of the MinHash verify stage.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+import ray.data
+
+_BUCKET = "__jbucket"
+_SIDE = "__jside"
+
+
+def _bucket_of(val, num_buckets: int) -> int:
+    return zlib.crc32(str(val).encode("utf-8")) % num_buckets
+
+
+def bucket_lookup_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_key: str,
+    payload: dict[str, str],
+    left_schema: pa.Schema,
+    payload_types: dict[str, pa.DataType],
+    num_buckets: int = 64,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Attach ``payload`` columns of ``right`` (renamed per the mapping
+    ``{right_col: out_col}``) to ``left`` rows where
+    ``left[on] == right[right_key]``.
+
+    ``left_schema`` / ``payload_types`` are passed explicitly so the
+    union schema is known at graph-build time (inspecting a lazy
+    Dataset's schema would force partial execution). ``how`` is
+    ``"inner"`` (drop unmatched left rows) or ``"left"`` (keep, null
+    payload).
+    """
+    out_names = list(payload.values())
+    left_names = list(left_schema.names)
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        cols = {_BUCKET: pa.array(
+            [_bucket_of(v, num_buckets) for v in batch[on].to_pylist()],
+            pa.int32(),
+        ), _SIDE: pa.array([0] * batch.num_rows, pa.int8())}
+        for name in left_names:
+            cols[name] = batch[name]
+        for name in out_names:
+            cols[name] = pa.nulls(batch.num_rows, payload_types[name])
+        return pa.table(cols)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[right_key].to_pylist()
+        cols = {_BUCKET: pa.array(
+            [_bucket_of(v, num_buckets) for v in keys], pa.int32()
+        ), _SIDE: pa.array([1] * n, pa.int8())}
+        for name in left_names:
+            if name == on:
+                # the right key rides in the left join column's slot so
+                # the group fn needs no extra key column
+                cols[name] = pa.array(keys, left_schema.field(on).type)
+            else:
+                cols[name] = pa.nulls(n, left_schema.field(name).type)
+        for rcol, name in payload.items():
+            cols[name] = batch[rcol].cast(payload_types[name])
+        return pa.table(cols)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g[_SIDE].to_pylist()
+        keys = g[on].to_pylist()
+        lookup: dict = {}
+        for i, s in enumerate(side):
+            if s == 1:
+                lookup[keys[i]] = i
+        left_idx = [i for i, s in enumerate(side) if s == 0]
+        if how == "inner":
+            left_idx = [i for i in left_idx if keys[i] in lookup]
+        out: dict[str, list] = {}
+        for name in left_names:
+            col = g[name].to_pylist()
+            out[name] = [col[i] for i in left_idx]
+        for name in out_names:
+            col = g[name].to_pylist()
+            out[name] = [
+                col[lookup[keys[i]]] if keys[i] in lookup else None
+                for i in left_idx
+            ]
+        arrays = {
+            name: pa.array(out[name], type=left_schema.field(name).type)
+            for name in left_names
+        }
+        for name in out_names:
+            arrays[name] = pa.array(out[name], type=payload_types[name])
+        return pa.table(arrays)
+
+    combined = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+    return combined.groupby(_BUCKET).map_groups(
+        join_group, batch_format="pyarrow"
+    )
