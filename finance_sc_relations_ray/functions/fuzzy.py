@@ -61,6 +61,19 @@ def stratified_doc_split(
     return out
 
 
+def hash_split(key, valid_frac: float = 0.2, seed_key: str = "split-42") -> str:
+    """Stateless doc-level split: ``valid`` iff
+    ``crc32(seed|key) / 2^32 < valid_frac``. A pure function of the key,
+    so the assignment needs NO driver-side map, no broadcast, and no
+    shuffle — and is independent of Ray block boundaries (the round-1
+    broadcast-dict split depended on them). Because the hash is
+    independent of any label, every stratum's valid fraction
+    concentrates to ``valid_frac`` (hash-stratified); for exact small-n
+    per-stratum counts use ``stratified_doc_split``."""
+    h = zlib.crc32(f"{seed_key}|{key}".encode("utf-8"))
+    return "valid" if h < valid_frac * 4294967296.0 else "train"
+
+
 def k_fold_assign(
     doc_ids: list[int], k: int = 5, seed_key: str = "fold-42"
 ) -> dict[int, int]:

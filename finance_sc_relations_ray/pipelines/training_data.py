@@ -23,7 +23,7 @@ import ray
 import ray.data
 
 from ..config import DEFAULT_CONFIG, KGConfig
-from ..functions.fuzzy import stratified_doc_split
+from ..functions.fuzzy import hash_split
 from ..functions.tagging import inverse_relations
 from ..config import INVERSE_RELATION
 from .kg import read_pages, sentences_dataset
@@ -119,51 +119,25 @@ def build_training_data(
         num_cpus=config.actor_num_cpus,
     )
 
-    # doc-level stratified split: strata = the doc's majority label;
-    # the (small) url→split map is built from a per-doc label rollup
-    # and broadcast
-    def doc_label(batch: pa.Table) -> pa.Table:
-        from collections import Counter
+    # doc-level split: a stateless hash of the url (functions/fuzzy.py
+    # hash_split). No per-doc map is ever materialized or broadcast —
+    # at 10^12 urls the round-1 url→split dict WAS the dataset — and
+    # the assignment is independent of Ray block boundaries, so the
+    # export is deterministic across environments. Stratification is
+    # by hash-independence (each label stratum's valid fraction
+    # concentrates to valid_frac); `doc_majority_labels` below computes
+    # the exact global per-doc stratum label for split-quality
+    # reporting.
+    seed_key = f"split-{seed}"
 
-        counts: dict[str, Counter] = {}
-        for url, rel in zip(batch["url"].to_pylist(), batch["relations"].to_pylist()):
-            counts.setdefault(url, Counter())[rel] += 1
-        urls = sorted(counts)
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "doc_label": pa.array(
-                    [counts[u].most_common(1)[0][0] for u in urls], pa.string()
-                ),
-            }
-        )
+    def add_split(batch: pa.Table) -> pa.Table:
+        splits = [
+            hash_split(u, valid_frac, seed_key)
+            for u in batch["url"].to_pylist()
+        ]
+        return batch.append_column("split", pa.array(splits, pa.string()))
 
-    doc_labels = (
-        examples.select_columns(["url", "relations"])
-        .map_batches(doc_label, batch_format="pyarrow")
-        .groupby("url")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .to_pandas()
-    )
-    assign = stratified_doc_split(
-        doc_labels["url"].tolist(),
-        doc_labels["doc_label"].tolist(),
-        valid_frac,
-        seed_key=f"split-{seed}",
-    )
-    assign_ref = ray.put(assign)
-
-    class AddSplit:
-        def __init__(self):
-            self.assign = ray.get(assign_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            splits = [self.assign.get(u, "train") for u in batch["url"].to_pylist()]
-            return batch.append_column("split", pa.array(splits, pa.string()))
-
-    ds = examples.map_batches(
-        AddSplit, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
-    )
+    ds = examples.map_batches(add_split, batch_format="pyarrow")
 
     if augment:
         # direction-inversion augmentation on TRAIN rows only
@@ -187,3 +161,49 @@ def build_training_data(
         ds = ds.map_batches(aug, batch_format="pyarrow")
 
     return ds.random_shuffle(seed=seed)
+
+
+def doc_majority_labels(examples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(url, relations) example rows → (url, doc_label) where doc_label
+    is the GLOBAL majority label of the document (ties broken
+    lexically). Fully distributed: per-batch combiner → one
+    groupby(url, relations) sum → per-url argmax; never depends on
+    which Ray block a sentence landed in (the round-1 per-batch
+    head(1) rollup did — ADVICE r01)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for url, rel in zip(
+            batch["url"].to_pylist(), batch["relations"].to_pylist()
+        ):
+            counts[(url, rel)] = counts.get((url, rel), 0) + 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "url": pa.array([k[0] for k in ks], pa.string()),
+                "relations": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def argmax(g: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(g["relations"].to_pylist(), g["n"].to_pylist()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return pa.table(
+            {
+                "url": pa.array([g["url"][0].as_py()], pa.string()),
+                "doc_label": pa.array([rows[0][0]], pa.string()),
+            }
+        )
+
+    return (
+        examples.select_columns(["url", "relations"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["url", "relations"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("url")
+        .map_groups(argmax, batch_format="pyarrow")
+    )

@@ -3,11 +3,15 @@
 The reference resumes by set-difference of processed file ids plus
 idempotent ``overwrite_partitions`` Parquet writes
 (src/glue/glue_etl.py:649-679, src/sagemaker/re_inference.py:148-171).
-Ours: deterministic output partitions ``part = crc32(url) % P``, one
-manifest JSON line per COMPLETED partition carrying its lineage metrics
-(n_pages, n_triples, wall seconds). On resume, completed parts are
-skipped at the READ (partition pruning), and partially-written parts
-are overwritten — same idempotence contract.
+Ours: deterministic partitions = round-robin groups of the sorted input
+FILES (pipelines/run.py), one manifest JSON line per COMPLETED
+partition carrying its lineage metrics (n_pages, n_files, n_triples,
+n_errors, wall seconds). On resume, completed parts are skipped at the
+READ LAYER (their paths are never passed to read_parquet), and
+partially-written parts are overwritten — same idempotence contract.
+
+``part_of`` (url-hash partitioning) remains for semantic key-based
+partitioning needs (e.g. co-locating a url's rows across runs).
 """
 
 from __future__ import annotations

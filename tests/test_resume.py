@@ -13,10 +13,13 @@ from finance_sc_relations_ray.state.manifest import Manifest
 
 @pytest.fixture(scope="module")
 def pages_path(tmp_path_factory):
+    """Directory of 8 parquet files × 10 pages — partitions are input
+    FILE groups, so the fixture must be multi-file."""
     d = tmp_path_factory.mktemp("pages_resume")
-    path = str(d / "pages.parquet")
-    pq.write_table(generate_pages(list(range(80))), path)
-    return path
+    pages = generate_pages(list(range(80)))
+    for i in range(8):
+        pq.write_table(pages.slice(i * 10, 10), str(d / f"pages-{i}.parquet"))
+    return str(d)
 
 
 def test_interrupt_and_resume(pages_path, tmp_path):
@@ -27,10 +30,13 @@ def test_interrupt_and_resume(pages_path, tmp_path):
     assert r1["parts_done"] == 4
     m = Manifest(out)
     assert len(m.completed_parts()) == 4
-    # resume finishes the remaining parts and skips completed ones
+    # resume finishes the remaining parts and skips completed ones —
+    # pruned at the READ: the resumed run touches only the 4 unfinished
+    # parts' files (1 file per part here)
     r2 = run_partitioned(pages_path, out, num_parts=8, parts_per_chunk=4)
     assert r2["parts_done"] == 8
     assert r2["parts_run"] == 4  # only the missing parts ran
+    assert r2["files_read"] == 4  # skipped parts' files never read
 
     # per-partition lineage metrics present
     for rec in m.metrics():
