@@ -39,6 +39,19 @@ class KGConfig:
     # SC gate
     sc_threshold: float = 0.5
 
+    # M10 tokenizer-side accounting (reference re_dataset,
+    # preprocessing_funcs.py:287-339): every tagged variant is
+    # tokenized (stub wordpiece, truncation at max_token_len) and
+    # dropped+counted when a marker does not survive — corrupted
+    # markers or truncation past the [E2] position
+    max_token_len: int = 128
+    tokenize_markers: bool = True
+    # M8 wiring (reference mutates sents inside re_dataset before the
+    # RE forward, mutate=True): pseudonymize org mentions per group
+    # before scoring. Off by default with the rule-based stub (which
+    # reads positions, not names); flip on when a learned model scores.
+    mutate_before_scoring: bool = False
+
     # execution sizing (autoscaling actor pools (min, max) so a stage
     # never deadlocks a small cluster nor starves the others; see
     # SURVEY.md §4)

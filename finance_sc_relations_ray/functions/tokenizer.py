@@ -1,0 +1,108 @@
+"""Tokenizer-side marker location, truncation accounting and batch
+collate (M10) — the reference's main robustness surface.
+
+Re-implements the structural behavior of the reference's ``re_dataset``
+(src/relation_extraction/preprocessing_funcs.py:287-339) without the
+learned vocab:
+
+- ``StubTokenizer.encode``: special-token framing ([CLS]/[SEP]),
+  marker tokens ([E1]/[/E1]/[E2]/[/E2]) as single ids, greedy 4-char
+  word pieces hashed into a fixed id space, truncation at ``max_len``;
+- ``get_e1e2_start``: first [E1]/[E2] token positions, ``None`` when a
+  marker is missing (reference ``get_e1e2_start``,
+  preprocessing_funcs.py:289-297) — corrupted-marker rows and rows
+  whose markers were truncated away are DROPPED and COUNTED (the
+  reference prints "Invalid rows/total" and ``dropna``s;
+  ``invalid_rows.json`` at the reference root is a whole corpus of
+  such rows);
+- ``pad_collate``: the ``Pad_Sequence`` collate analog
+  (preprocessing_funcs.py:233-285) — pad a batch of id sequences to
+  the batch max with the pad id and return the true lengths.
+
+The id SPACE is a deterministic stub (crc32 buckets — no model in this
+environment), but every structural behavior the Ray plumbing must get
+right for the real BERT tokenizer swap (special ids, truncation point,
+marker survival, drop accounting, padding) is real and tested.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+CLS_ID, SEP_ID, PAD_ID = 0, 1, 2
+E1_ID, E1_END_ID, E2_ID, E2_END_ID = 3, 4, 5, 6
+_VOCAB_OFFSET = 8
+_VOCAB_BUCKETS = 30522 - _VOCAB_OFFSET  # bert-base-sized id space
+
+_MARKER_IDS = {
+    "[E1]": E1_ID,
+    "[/E1]": E1_END_ID,
+    "[E2]": E2_ID,
+    "[/E2]": E2_END_ID,
+}
+_MARKER_RE = re.compile(r"(\[E1\]|\[/E1\]|\[E2\]|\[/E2\])")
+_WORD_RE = re.compile(r"\w+|[^\w\s]")
+_PIECE = 4  # greedy word-piece length
+
+
+class StubTokenizer:
+    """Deterministic tokenizer stub behind the HF-encode-shaped
+    interface the reference swaps in (tokenizer.encode →
+    ids with specials, truncated at max_len)."""
+
+    pad_id = PAD_ID
+    e1_id = E1_ID
+    e2_id = E2_ID
+
+    def __init__(self, max_len: int = 128):
+        self.max_len = max_len
+
+    def encode(self, text: str) -> list[int]:
+        ids = [CLS_ID]
+        for piece in _MARKER_RE.split(text):
+            if not piece:
+                continue
+            marker = _MARKER_IDS.get(piece)
+            if marker is not None:
+                ids.append(marker)
+                continue
+            for word in _WORD_RE.findall(piece.lower()):
+                for i in range(0, len(word), _PIECE):
+                    chunk = word[i : i + _PIECE]
+                    ids.append(
+                        _VOCAB_OFFSET
+                        + zlib.crc32(chunk.encode("utf-8")) % _VOCAB_BUCKETS
+                    )
+        ids.append(SEP_ID)
+        # truncation loses the tail INCLUDING any markers there — that
+        # is exactly the invalid-row condition the drop accounting
+        # downstream must catch
+        return ids[: self.max_len]
+
+
+def get_e1e2_start(
+    ids: list[int], e1_id: int = E1_ID, e2_id: int = E2_ID
+) -> tuple[int, int] | None:
+    """First positions of the [E1]/[E2] marker tokens; None when either
+    is missing (corrupted or truncated away)."""
+    try:
+        return (ids.index(e1_id), ids.index(e2_id))
+    except ValueError:
+        return None
+
+
+def pad_collate(
+    seqs: list[list[int]], pad_value: int = PAD_ID
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a batch of id sequences to the batch max → (ids[B, L],
+    lengths[B]). numpy stand-in for the torch pad_sequence collate."""
+    if not seqs:
+        return np.zeros((0, 0), dtype=np.int64), np.zeros(0, dtype=np.int64)
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs))
+    out = np.full((len(seqs), int(lengths.max())), pad_value, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+    return out, lengths

@@ -141,27 +141,41 @@ def run_partitioned(
             if n_err:
                 errs.write_parquet(dl_dir)
 
+            # M10 marker-drop accounting rows (pred="_dropped_markers",
+            # obj = per-page drop count): summed into the manifest
+            # lineage, excluded from the triple output
+            meta = deduped.map_batches(
+                lambda b: b.filter(pc.equal(b["pred"], "_dropped_markers")),
+                batch_format="pyarrow",
+            ).to_pandas()
+            n_dropped = int(meta["obj"].astype(int).sum()) if len(meta) else 0
+
+            _special = pa.array(["_error", "_dropped_markers"])
             ok = deduped.map_batches(
-                lambda b: b.filter(pc.not_equal(b["pred"], "_error")),
+                lambda b: b.filter(
+                    pc.invert(pc.is_in(b["pred"], value_set=_special))
+                ),
                 batch_format="pyarrow",
             )
             pdir = os.path.join(out_dir, f"part={p}")
             shutil.rmtree(pdir, ignore_errors=True)
             ok.write_parquet(pdir)
 
+            n_ok = n_all - n_err - len(meta)
             manifest.mark_done(
                 p,
                 {
                     "n_pages": n_pages,
                     "n_files": len(paths),
-                    "n_triples": n_all - n_err,
+                    "n_triples": n_ok,
                     "n_errors": n_err,
+                    "n_dropped_markers": n_dropped,
                     "seconds": round(time.perf_counter() - t0, 3),
                 },
             )
             total["parts_run"] += 1
             total["files_read"] += len(paths)
-            total["n_triples"] += n_all - n_err
+            total["n_triples"] += n_ok
     total["parts_done"] = len(manifest.completed_parts())
     return total
 

@@ -29,7 +29,7 @@ from ..functions.grouping import detect_alias_candidates, filter_aliases, group_
 from ..functions.names import encode_names, similarity
 from ..functions.tagging import entity_annotation, inverse_relations
 from .ner import ALIAS_T, ORG_GROUP_T, GazetteerTagger
-from .scoring import _SUPPLY_RE, RuleReScorer, _representative
+from .scoring import _SUPPLY_RE, RuleReScorer, _representative, prepare_for_scoring
 from .schema import check_schema
 
 SCORED_PAIRS_SCHEMA = pa.schema(
@@ -50,11 +50,15 @@ class SentencePairScorer:
     """Actor: cleaned sentence rows → position-averaged scored pair rows."""
 
     def __init__(self, config: KGConfig = DEFAULT_CONFIG, reverse: bool = True):
+        from ..functions.tokenizer import StubTokenizer
+
         self.config = config
         self.reverse = reverse
         self.tagger = GazetteerTagger()
         self.re_model = RuleReScorer()
         self.supply_re = _SUPPLY_RE
+        self.tokenizer = StubTokenizer(config.max_token_len)
+        self.n_dropped_markers = 0  # cumulative M10 drop count
 
     def _score(self, tagged: str) -> list[float]:
         fwd = self.re_model.score(tagged)
@@ -67,19 +71,21 @@ class SentencePairScorer:
             ]
         return fwd
 
-    def score_sentence(self, url: str, sent_id: int, sent: str, out: dict) -> None:
+    def score_sentence(self, url: str, sent_id: int, sent: str, out: dict) -> int:
         """Score one cleaned sentence, appending pair rows to ``out``
-        (column lists in SCORED_PAIRS_SCHEMA order)."""
+        (column lists in SCORED_PAIRS_SCHEMA order). Returns the number
+        of variants dropped by the M10 marker-survival check."""
         cfg = self.config
+        dropped = 0
         # SC gate first (cheapest): negative sentences short-circuit
         # before the NER model runs — at scale with a real SC model the
         # gate ordering follows the reference (NER feeds SC), but
         # gate-vs-NER order is commutative on the kept set
         if self.supply_re.search(sent) is None:
-            return
+            return 0
         spans = self.tagger.spans(sent)
         if not spans:
-            return
+            return 0
         ents = sorted({sp["text"] for sp in spans})
         cand = detect_alias_candidates(sent, ents)
         filtered = filter_aliases(cand, similarity, cfg.alias_sim_threshold)
@@ -91,7 +97,7 @@ class SentencePairScorer:
         for name, gid in groups.items():
             gids.setdefault(gid, []).append(name)
         if len(gids) < 2:
-            return
+            return 0
         group_ids = sorted(gids)
         reps = {g: _representative(gids[g]) for g in group_ids}
         org_groups_cells = [{"name": k, "gid": v} for k, v in groups.items()]
@@ -101,8 +107,19 @@ class SentencePairScorer:
             for b in range(a + 1, len(group_ids)):
                 e1, e2 = reps[group_ids[a]], reps[group_ids[b]]
                 variants = entity_annotation(sent, e1, e2, groups, cfg.num_positions)
-                if variants:
-                    vs = [self._score(t) for t in variants]
+                # M8/M10 front half — same gate as the composable
+                # ReScorerActor so both plans drop identical variants
+                texts = []
+                for t in variants:
+                    prepared = prepare_for_scoring(
+                        t, org_groups_cells, cfg, self.tokenizer
+                    )
+                    if prepared is None:
+                        dropped += 1
+                    else:
+                        texts.append(prepared)
+                if texts:
+                    vs = [self._score(t) for t in texts]
                     inv_n = 1.0 / len(vs)
                     sc = [sum(col) * inv_n for col in zip(*vs)]
                     out["url"].append(url)
@@ -114,6 +131,8 @@ class SentencePairScorer:
                     out["org_groups"].append(org_groups_cells)
                     out["aliases"].append(alias_cells)
                 pair_i += 1
+        self.n_dropped_markers += dropped
+        return dropped
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in SCORED_PAIRS_SCHEMA.names}
@@ -190,12 +209,28 @@ class PageKGActor(SentencePairScorer):
             # streaming-native equivalent.
             try:
                 cols = {k: [] for k in SCORED_PAIRS_SCHEMA.names}
+                page_drops = 0
                 for sent_id, raw in enumerate(sentencize(extract_text(html))):
-                    self.score_sentence(url, sent_id, clean_text(raw), cols)
+                    page_drops += self.score_sentence(
+                        url, sent_id, clean_text(raw), cols
+                    )
                 if cols["url"]:
                     _aggregate_doc_into(
                         {c: cols[c] for c in _AGG_COLS}, agg_out, self.config
                     )
+                if page_drops:
+                    # M10 drop accounting rides the stream as a meta
+                    # row (like the _error dead-letter channel):
+                    # to_triples turns it into a pred="_dropped_markers"
+                    # row the partitioned runner records per part and
+                    # excludes from output
+                    agg_out["url"].append(url)
+                    agg_out["reporter"].append("")
+                    agg_out["company"].append("")
+                    agg_out["relation"].append("_meta_dropped")
+                    agg_out["score"].append(0.0)
+                    agg_out["sentence_ids"].append([])
+                    agg_out["n_pairs"].append(page_drops)
             except Exception as exc:  # noqa: BLE001 — quarantine, don't crash
                 dead.append(
                     {

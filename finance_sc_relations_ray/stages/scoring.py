@@ -170,26 +170,79 @@ class RuleReScorer:
         return None
 
 
+def prepare_for_scoring(
+    tagged: str, org_groups, config: KGConfig, tokenizer
+) -> str | None:
+    """Shared M8+M10 front half for every scoring path (composable
+    ReScorerActor and fused SentencePairScorer — both must drop the
+    SAME variants for the plan-equivalence guarantee):
+    optional org pseudonymization (mutate_sent, reference re_dataset
+    mutate=True), then marker-survival check after stub tokenization +
+    truncation. Returns the text to score, or None → drop + count.
+    ``org_groups`` is the list<struct{name,gid}> cell or None."""
+    from ..functions.tokenizer import get_e1e2_start
+
+    if config.mutate_before_scoring and org_groups:
+        from ..functions.tagging import mutate_sent
+
+        tagged = mutate_sent(
+            tagged,
+            {d["name"]: d["gid"] for d in org_groups},
+            seed_key=tagged,
+        )
+    if config.tokenize_markers:
+        if get_e1e2_start(tokenizer.encode(tagged)) is None:
+            return None
+    return tagged
+
+
 class ReScorerActor:
     """Actor-pool relation scorer with the reverse-direction ensemble
     fused in (R3): scores(s) averaged with supplier↔customer-permuted
-    scores(inverse(s)) (infer.py:149-167)."""
+    scores(inverse(s)) (infer.py:149-167).
+
+    M10/M8 front half (reference re_dataset,
+    preprocessing_funcs.py:287-339): each variant is optionally
+    mutated (org pseudonymization, M8) then tokenized; variants whose
+    [E1]/[E2] markers do not survive tokenization+truncation are
+    DROPPED from the batch and counted in ``n_dropped_markers`` —
+    the reference's "Invalid rows/total" dropna accounting."""
 
     def __init__(self, config: KGConfig = DEFAULT_CONFIG, reverse: bool = True):
+        from ..functions.tokenizer import StubTokenizer
+
         self.config = config
         self.reverse = reverse
         self.model = RuleReScorer()
+        self.tokenizer = StubTokenizer(config.max_token_len)
+        self.n_dropped_markers = 0
+
+    def _prepare(self, tagged: str, org_groups) -> str | None:
+        return prepare_for_scoring(tagged, org_groups, self.config, self.tokenizer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        scores = []
-        for tagged in batch["tagged"].to_pylist():
-            fwd = self.model.score(tagged)
+        ogs = (
+            batch["org_groups"].to_pylist()
+            if self.config.mutate_before_scoring
+            and "org_groups" in batch.column_names
+            else None
+        )
+        keep, scores = [], []
+        for i, tagged in enumerate(batch["tagged"].to_pylist()):
+            text = self._prepare(tagged, ogs[i] if ogs else None)
+            if text is None:
+                self.n_dropped_markers += 1
+                continue
+            fwd = self.model.score(text)
             if self.reverse:
-                rev = self.model.score(inverse_relations(tagged))
+                rev = self.model.score(inverse_relations(text))
                 # permute supplier<->customer then average
                 rev = [rev[1], rev[0], rev[2]]
                 fwd = [(a + b) / 2 for a, b in zip(fwd, rev)]
+            keep.append(i)
             scores.append(fwd)
+        if len(keep) < batch.num_rows:
+            batch = batch.take(keep)
         return batch.append_column(
             "scores", pa.array(scores, type=pa.list_(pa.float32(), 3))
         )

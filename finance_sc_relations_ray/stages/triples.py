@@ -53,6 +53,19 @@ def to_triples_batch(
             out["url"].append(row["url"])
             out["sentence_ids"].append([])
             continue
+        if label == "_meta_dropped":
+            # M10 marker-drop accounting (n_pairs = drop count rides in
+            # obj): counted per partition into the manifest lineage by
+            # pipelines/run.py, excluded from the triple output there
+            out["subj"].append(row["url"])
+            out["pred"].append("_dropped_markers")
+            out["obj"].append(str(row["n_pairs"]))
+            out["subj_id"].append(None)
+            out["obj_id"].append(None)
+            out["score"].append(0.0)
+            out["url"].append(row["url"])
+            out["sentence_ids"].append([])
+            continue
         if label not in config.main_relations:
             continue
         company, reporter = row["company"], row["reporter"]
