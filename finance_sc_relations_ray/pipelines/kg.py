@@ -182,12 +182,22 @@ def triples_dataset(
 def alias_items_dataset(
     pages_path: str,
     config: KGConfig = DEFAULT_CONFIG,
+    company_db: pa.Table | None = None,
     read_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """Alias items — the reference's second KG output type (alias
-    DynamoDB items keyed per filing, reporter.py:347-385): one row per
-    (url, target, alias) pair detected and accepted by the alias filter,
-    deduplicated within document."""
+    DynamoDB items keyed ``alias#<cik>`` after linking,
+    reporter.py:347-385): one row per (url, target, alias) pair
+    detected and accepted by the alias filter, deduplicated within
+    document, then LINKED — the alias target resolves against the
+    company DB (broadcast, same Linker as the triple path) and the item
+    key becomes ``alias#<entity_id>#<alias>`` with a
+    ``url#<url>#<alias>`` sort key. Deviation from the reference,
+    documented: the reference keys by the FILER's cik (filing metadata
+    Common-Crawl pages don't have); we key by the alias target's linked
+    entity id, which is the canonical-entity attachment a KG consumer
+    needs. Unlinked targets keep a null entity_id and an
+    ``alias#unlinked#...`` key."""
     from ..stages.fused import SentencePairScorer
 
     pages = read_pages(pages_path, read_blocks)
@@ -236,9 +246,42 @@ def alias_items_dataset(
             }
         )
 
-    return ds.map_batches(combine, batch_format="pyarrow").groupby(
+    deduped = ds.map_batches(combine, batch_format="pyarrow").groupby(
         ["url", "target", "alias"]
     ).count().select_columns(["url", "target", "alias"])
+
+    db_ref = ray.put(company_db if company_db is not None else company_db_table())
+
+    class LinkAliasActor:
+        def __init__(self):
+            from ..stages.link import Linker
+
+            self.linker = Linker(ray.get(db_ref), config)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            eids, keys, sks = [], [], []
+            for url, target, alias in zip(
+                batch["url"].to_pylist(),
+                batch["target"].to_pylist(),
+                batch["alias"].to_pylist(),
+            ):
+                eid, _, _ = self.linker.link(target)
+                eids.append(eid)
+                keys.append(f"alias#{eid if eid else 'unlinked'}#{alias}")
+                sks.append(f"url#{url}#{alias}")
+            return (
+                batch.append_column("entity_id", pa.array(eids, pa.string()))
+                .append_column("item_key", pa.array(keys, pa.string()))
+                .append_column("sort_key", pa.array(sks, pa.string()))
+            )
+
+    return deduped.map_batches(
+        LinkAliasActor,
+        batch_format="pyarrow",
+        batch_size=config.link_batch_size,
+        concurrency=config.link_concurrency,
+        num_cpus=config.actor_num_cpus,
+    )
 
 
 def build_kg_pipeline(

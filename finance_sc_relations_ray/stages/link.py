@@ -32,9 +32,21 @@ LINKED_EXTRA = [
 
 
 class PrefixIndex:
-    """prefix → (names, rgids, unit-vector matrix); built once."""
+    """prefix → CHUNKED (names, rgids, unit-vector matrix); built once.
 
-    def __init__(self, db_table: pa.Table, prefix_len: int):
+    Chunking (default 500k rows per matrix, mirroring the reference's
+    chunked FAISS-source build, src/matcher/core.py:111-186): the index
+    necessarily holds every vector (as FAISS does), but building a
+    multi-million-name bucket in one ``encode_names`` call would spike
+    peak memory to several× the steady state (Python string lists +
+    the full matrix as one allocation); chunked build bounds the
+    intermediate, and chunked scoring bounds the per-query matmul
+    workspace. Scores are concatenated in DB order, so results are
+    bit-identical to the unchunked build (tested)."""
+
+    def __init__(
+        self, db_table: pa.Table, prefix_len: int, chunk_rows: int = 500_000
+    ):
         self.prefix_len = prefix_len
         buckets: dict[str, list[tuple[str, str]]] = {}
         for name, pref, rgid in zip(
@@ -43,10 +55,14 @@ class PrefixIndex:
             db_table["rgid"].to_pylist(),
         ):
             buckets.setdefault(pref, []).append((name, rgid))
-        self.buckets = {}
+        self.buckets: dict[str, list[tuple[list[str], list[str], np.ndarray]]] = {}
         for pref, rows in buckets.items():
-            names = [r[0] for r in rows]
-            self.buckets[pref] = (names, [r[1] for r in rows], encode_names(names))
+            chunks = []
+            for lo in range(0, len(rows), chunk_rows):
+                part = rows[lo : lo + chunk_rows]
+                names = [r[0] for r in part]
+                chunks.append((names, [r[1] for r in part], encode_names(names)))
+            self.buckets[pref] = chunks
 
     def lookup(
         self, name: str, match_thresh: float, cand_thresh: float, top_k: int
@@ -54,11 +70,16 @@ class PrefixIndex:
         """→ (entity_id, db_name, candidate_ids); scores sorted desc,
         ties by db order (reference FAISS top-k then threshold split,
         reporter.py:196-236)."""
-        bucket = self.buckets.get(prefix_key(name, self.prefix_len))
-        if not bucket:
+        chunks = self.buckets.get(prefix_key(name, self.prefix_len))
+        if not chunks:
             return None, None, []
-        names, rgids, mat = bucket
-        scores = mat @ encode_name(name)
+        q = encode_name(name)
+        names: list[str] = []
+        rgids: list[str] = []
+        scores = np.concatenate([mat @ q for _, _, mat in chunks])
+        for cn, cr, _ in chunks:
+            names.extend(cn)
+            rgids.extend(cr)
         order = np.argsort(-scores, kind="stable")[:top_k]
         order = [int(i) for i in order if scores[i] >= cand_thresh]
         matches = [i for i in order if scores[i] > match_thresh]

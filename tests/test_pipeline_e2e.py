@@ -51,3 +51,23 @@ def test_kg_pipeline_deterministic_across_runs(pages_path):
         ["subj", "pred", "obj"]
     ).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_alias_items_linked(pages_path):
+    """Alias items carry the linked entity id + reference-shaped keys
+    (reporter.py:347-385 keying, target-linked — see docstring)."""
+    from finance_sc_relations_ray.pipelines.kg import alias_items_dataset
+
+    df = alias_items_dataset(pages_path).to_pandas()
+    assert set(df.columns) == {
+        "url", "target", "alias", "entity_id", "item_key", "sort_key"
+    }
+    assert len(df) > 0
+    linked = df[df["entity_id"].notna()]
+    assert len(linked) > 0
+    r = linked.iloc[0]
+    assert r["item_key"] == f"alias#{r['entity_id']}#{r['alias']}"
+    assert r["sort_key"] == f"url#{r['url']}#{r['alias']}"
+    # unlinked rows keyed deterministically too
+    unlinked = df[df["entity_id"].isna()]
+    assert (unlinked["item_key"].str.startswith("alias#unlinked#")).all()

@@ -112,3 +112,36 @@ def test_pair_enumeration_r_ids():
     assert len({r["r_id"] for r in rows}) == 6
     assert all(r["r_id"].startswith("3_") for r in rows)
     assert all("[E1]" in r["tagged"] and "[E2]" in r["tagged"] for r in rows)
+
+
+def test_prefix_index_chunked_build_identical():
+    """An oversized synthetic bucket split across chunks must link
+    identically to the unchunked index (J1 chunked build,
+    reference matcher/core.py:111-186)."""
+    import pyarrow as pa
+
+    from finance_sc_relations_ray.functions.names import (
+        normalize_name,
+        prefix_key,
+    )
+    from finance_sc_relations_ray.stages.link import PrefixIndex
+
+    names = [f"acme widgets number {i} corp" for i in range(40)] + [
+        "acme widgets number 7 corp holdings"
+    ]
+    norm = [normalize_name(n) for n in names]
+    db = pa.table(
+        {
+            "normalizedname": pa.array(norm),
+            "companyprefix": pa.array([prefix_key(n, 2) for n in norm]),
+            "rgid": pa.array([f"RG{i:04d}" for i in range(len(names))]),
+        }
+    )
+    whole = PrefixIndex(db, 2, chunk_rows=500_000)
+    chunked = PrefixIndex(db, 2, chunk_rows=8)  # forces 6 chunks
+    assert len(chunked.buckets[prefix_key(norm[0], 2)]) >= 5
+    for q in ["acme widgets number 7 corp", "acme widgets number 33 corp",
+              "unrelated name"]:
+        a = whole.lookup(q, 0.95, 0.80, 5)
+        b = chunked.lookup(q, 0.95, 0.80, 5)
+        assert a == b, q
