@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "dedup_exact",
     "minhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_documents",
     "knn_cosine",
     "token_counts",
 ]
@@ -66,7 +68,15 @@ def run_bench() -> dict:
     # (FIXTURES.md §1 bench scale: 20k pages regardless of the small
     # documents table; deterministic seed 42)
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "20000"))
-    pages_path = pages_parquet_for(sf_dir, n_pages=n_pages)
+    # entity space grows with the page count (n/50 synthetic orgs) so
+    # the distinct-triple space — and therefore the final dedup
+    # exchange — scales with the input instead of saturating
+    extra_entities = int(
+        os.environ.get("GRAFT_BENCH_EXTRA_ENTITIES", str(n_pages // 50))
+    )
+    pages_path = pages_parquet_for(
+        sf_dir, n_pages=n_pages, extra_entities=extra_entities
+    )
     import pyarrow.parquet as pq
 
     files = (
@@ -85,12 +95,17 @@ def run_bench() -> dict:
             while f.read(1 << 24):
                 pass
 
+    import dataclasses
+
     from finance_sc_relations_ray.config import scaled_config
     from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
 
+    cfg = dataclasses.replace(
+        scaled_config(ncpu), extra_entities=extra_entities
+    )
     t0 = time.perf_counter()
     triples = build_kg_pipeline(
-        pages_path, config=scaled_config(ncpu), num_partitions=max(8, ncpu)
+        pages_path, config=cfg, num_partitions=max(8, ncpu)
     ).count()
     kg_sec = time.perf_counter() - t0
 
@@ -112,6 +127,7 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "n_docs": int(n_docs),
         "n_triples": int(triples),
+        "extra_entities": extra_entities,
         "docs_per_sec": round(n_docs / kg_sec, 1),
     }
     ray.shutdown()

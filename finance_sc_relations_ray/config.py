@@ -69,6 +69,10 @@ class KGConfig:
     actor_num_cpus: float = 0.5
     # salted-shuffle fan for the hot-key dedup/canonicalize shuffles
     dedup_salt: int = 16
+    # bench realism: extend the stub gazetteer with this many synthetic
+    # entities so the entity space (and therefore the dedup exchange)
+    # grows with the input instead of saturating (gazetteer.py)
+    extra_entities: int = 0
 
 
 INVERSE_RELATION = {"supplier": "customer", "customer": "supplier", "other": "other"}

@@ -77,12 +77,44 @@ def hash_split(key, valid_frac: float = 0.2, seed_key: str = "split-42") -> str:
 def k_fold_assign(
     doc_ids: list[int], k: int = 5, seed_key: str = "fold-42"
 ) -> dict[int, int]:
-    """Deterministic k-fold assignment (reference
-    src/data_cleansing/cross_cleaner.py:84-201 builds per-class
-    contiguous folds; ours: seeded shuffle then round-robin)."""
+    """Simple deterministic k-fold assignment (seeded shuffle then
+    round-robin). See ``weighted_k_fold`` for the reference's per-class
+    weighted slicing."""
     ids = sorted(doc_ids)
     _rng(seed_key).shuffle(ids)
     return {d: i % k for i, d in enumerate(ids)}
+
+
+def weighted_k_fold(
+    doc_ids: list,
+    strata: list[str],
+    k: int = 5,
+    seed_key: str = "fold-42",
+) -> dict:
+    """Per-class weighted k-fold (reference
+    src/data_cleansing/cross_cleaner.py:119-141): per stratum s with
+    weight w_s = |s|/N, each of the first k-1 folds takes a contiguous
+    slice of ``int((N/k) * w_s)`` of that stratum's docs and the LAST
+    fold takes the remainder — every fold mirrors the global class
+    mix. The reference slices in input order (load-order dependent);
+    we seed-shuffle within stratum first so the assignment is
+    deterministic and independent of row arrival order. Returns
+    doc_id → fold index."""
+    by_stratum: dict[str, list] = defaultdict(list)
+    for d, s in zip(doc_ids, strata):
+        by_stratum[s].append(d)
+    n = len(doc_ids)
+    fold_num = n // k
+    out: dict = {}
+    for s in sorted(by_stratum):
+        ids = sorted(by_stratum[s])
+        _rng(f"{seed_key}|{s}").shuffle(ids)
+        w = int(fold_num * (len(ids) / n))
+        for i in range(k):
+            chunk = ids[w * i :] if i == k - 1 else ids[w * i : w * (i + 1)]
+            for d in chunk:
+                out[d] = i
+    return out
 
 
 def negative_sample(

@@ -211,3 +211,102 @@ def relation_search(
             source_hit, _ = _match(query_relation[2], dist_orgs[dist_list[idx]])
             d2s = dist_hit and source_hit
     return not (s2d or d2s)
+
+
+# ------------------------------------------------- A6 conflict alignment --
+def is_aligned(
+    entity_1: str,
+    entity_2: str,
+    expected_relation: str,
+    label: int,
+    llms_relations: list,
+    org_groups: dict[str, int],
+    threshold: float = 0.85,
+) -> tuple[bool, tuple[str, str, str]]:
+    """The reference's ``is_conflict`` alignment check
+    (llm_annotator.py:330-424): expand LLM supplier→customer relations
+    over org groups, orient the SME relation into supplier-first form,
+    then decide alignment.
+
+    Quirk replicated (llm_annotator.py:420-421): the customer-side
+    substring fallback is ``any()`` over a list of LISTS, which is
+    truthy whenever the matched supplier has ANY customers — so a
+    supplier match effectively implies alignment. Kept for parity;
+    the similarity clause is the intended check."""
+    align = False
+    sme_relation = (entity_2, expected_relation, entity_1)
+    id2c: dict[int, list[str]] = defaultdict(list)
+    for name, gid in (org_groups or {}).items():
+        id2c[gid].append(name)
+    if label == 0:
+        expected_relation = "other"
+    elif expected_relation == "supplier":
+        sme_relation = (entity_2, "supplier", entity_1)
+    elif expected_relation == "customer":
+        sme_relation = (entity_1, "supplier", entity_2)
+
+    llm_relations: dict[str, list[str]] = defaultdict(list)
+    if isinstance(llms_relations, (list, tuple)):
+        for rel in llms_relations:
+            if not isinstance(rel, (list, tuple)) or len(rel) != 3:
+                continue
+            if rel[1] == "supplier":
+                sup, cust = rel[0], rel[2]
+                sup_id = (org_groups or {}).get(sup)
+                cust_id = (org_groups or {}).get(cust)
+                sup_names = id2c[sup_id] if sup_id else [sup]
+                cust_names = id2c[cust_id] if cust_id else [cust]
+                for s in sup_names:
+                    llm_relations[s] += cust_names
+
+    llm_suppliers = list(llm_relations.keys())
+    expected_supplier, _, expected_customer = sme_relation
+
+    if expected_relation == "other":
+        if not llm_relations:
+            align = True
+        else:
+            align = not (
+                similarity_vector(expected_supplier, llm_suppliers).max()
+                > threshold
+            )
+    elif llm_relations:
+        sims = similarity_vector(expected_supplier, llm_suppliers)
+        max_idx = int(sims.argmax())
+        if sims.max() > threshold or any(
+            expected_supplier in x for x in llm_suppliers
+        ):
+            customers = llm_relations[llm_suppliers[max_idx]]
+            align = bool(
+                similarity_vector(expected_customer, customers).max()
+                > threshold
+            ) or bool(
+                [[expected_customer.lower() in x.lower() for x in customers]]
+                and customers
+            )
+    return align, sme_relation
+
+
+def alignment_rate(rows: Iterable[dict], threshold: float = 0.85) -> dict:
+    """Alignment percentage + conflicts (detect_conflicts,
+    llm_annotator.py:426-453): rows need entity_1/entity_2/
+    inf_relations/label/llms_relations/org_groups. Returns
+    {'rate', 'n', 'conflicts'} where conflicts are the misaligned
+    rows (the reference writes them to the card's reports dir)."""
+    n = 0
+    conflicts = []
+    for row in rows:
+        align, sme = is_aligned(
+            row.get("entity_1"),
+            row.get("entity_2"),
+            row.get("inf_relations"),
+            row.get("label", 1),
+            row.get("llms_relations"),
+            row.get("org_groups"),
+            threshold,
+        )
+        n += 1
+        if not align:
+            conflicts.append({**row, "sme_relation": sme})
+    rate = (n - len(conflicts)) / n if n else 1.0
+    return {"rate": round(rate, 4), "n": n, "conflicts": conflicts}

@@ -132,22 +132,26 @@ def filter_quality_documents(
 
     def f(batch: pa.Table) -> pa.Table:
         keep = []
-        for text, lg in zip(
-            batch["text"].to_pylist(), batch["lang"].to_pylist()
-        ):
+        for text in batch["text"].to_pylist():
             n_tokens = textops.token_count(text)
             n_punct = len(textops._PUNCT_CLASS_RE.findall(text))
             ratio = n_punct / len(text) if text else 0.0  # unrounded (SQL parity)
-            keep.append(
-                lg == lang and n_tokens >= min_tokens and ratio <= max_punct_ratio
-            )
+            keep.append(n_tokens >= min_tokens and ratio <= max_punct_ratio)
         return pa.table(
             {"doc_id": batch["doc_id"], "n_chars": batch["n_chars"]}
         ).filter(pa.array(keep))
 
-    return _read(sf_dir, ["doc_id", "text", "lang", "n_chars"]).map_batches(
-        f, batch_format="pyarrow"
+    import pyarrow.dataset as pads
+
+    # S7 read-layer predicate pushdown: the language equality filter is
+    # evaluated at the parquet scan (row-group statistics pruning +
+    # scan-level filtering) — non-matching bytes never enter the stream
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+        filter=pads.field("lang") == lang,
     )
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- exact dedup ----

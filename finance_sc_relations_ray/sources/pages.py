@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 from ..gazetteer import GAZETTEER, HUBS
 
 _PAIRS_WITH_ABBR = [(f, a) for f, a in GAZETTEER if a]
-_FULL_NAMES = [f for f, _ in GAZETTEER]
+_DEFAULT_FULL_NAMES = [f for f, _ in GAZETTEER]
 
 BOILER_HEAD = (
     "<html><head><title>Filings and supply chain news</title></head><body>"
@@ -35,9 +35,13 @@ def _pick(rng: random.Random, pool: list[str], exclude: set[str], k: int) -> lis
     return rng.sample(cand, k)
 
 
-def _make_sentences(rng: random.Random, reporter: str) -> list[str]:
+def _make_sentences(
+    rng: random.Random, reporter: str, pool: list[str] | None = None
+) -> list[str]:
     """2-6 template sentences for one page; the reporter appears in most
-    of them so reporter derivation is unambiguous."""
+    of them so reporter derivation is unambiguous. ``pool`` extends the
+    full-name universe (bench entity-space scaling)."""
+    _FULL_NAMES = pool if pool is not None else globals()["_DEFAULT_FULL_NAMES"]
     n_sent = rng.randint(2, 6)
     sents: list[str] = []
     for _ in range(n_sent):
@@ -93,14 +97,22 @@ def _make_sentences(rng: random.Random, reporter: str) -> list[str]:
     return sents
 
 
-def generate_pages(doc_ids: list[int], seed: int = 42) -> pa.Table:
-    """Deterministic pages table for the given doc ids."""
+def generate_pages(
+    doc_ids: list[int], seed: int = 42, extra_entities: int = 0
+) -> pa.Table:
+    """Deterministic pages table for the given doc ids.
+    ``extra_entities`` grows the org-name universe with synthetic
+    gazetteer names (must match the pipeline's
+    ``config.extra_entities`` for the stub NER to recognize them)."""
+    from ..gazetteer import synthetic_entity_names
+
+    pool = _DEFAULT_FULL_NAMES + synthetic_entity_names(extra_entities)
     urls, tss, htmls, texts, langs = [], [], [], [], []
     base = dt.datetime(2024, 1, 1)
     for doc_id in doc_ids:
         rng = random.Random(f"pages-{seed}-{doc_id}")
-        reporter = rng.choice(_FULL_NAMES)
-        sents = _make_sentences(rng, reporter)
+        reporter = rng.choice(pool)
+        sents = _make_sentences(rng, reporter, pool)
         text = " ".join(sents)
         html = (
             BOILER_HEAD
@@ -136,6 +148,7 @@ def pages_parquet_for(
     out_dir: str | None = None,
     seed: int = 42,
     n_pages: int | None = None,
+    extra_entities: int = 0,
 ) -> str:
     """Materialize (once, cached) the pages parquet for a testdata sf
     dir; returns the parquet path. Cache lives under /tmp keyed by the
@@ -148,7 +161,8 @@ def pages_parquet_for(
     else:
         ids = doc_ids_from_documents(os.path.join(sf_dir, "documents.parquet"))
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = out_dir or f"/tmp/fscr_pages/{tag}-{len(ids)}-s{seed}"
+    ent_tag = f"-e{extra_entities}" if extra_entities else ""
+    out_dir = out_dir or f"/tmp/fscr_pages/{tag}-{len(ids)}-s{seed}{ent_tag}"
     path = os.path.join(out_dir, "pages")
     if os.path.isdir(path) and os.listdir(path):
         return path
@@ -169,7 +183,7 @@ def pages_parquet_for(
 
     def _write_chunk(f: int, chunk: list[int]) -> None:
         pq.write_table(
-            generate_pages(chunk, seed=seed),
+            generate_pages(chunk, seed=seed, extra_entities=extra_entities),
             os.path.join(tmp, f"part-{f:04d}.parquet"),
             row_group_size=1024,
         )

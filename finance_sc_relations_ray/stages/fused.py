@@ -54,7 +54,7 @@ class SentencePairScorer:
 
         self.config = config
         self.reverse = reverse
-        self.tagger = GazetteerTagger()
+        self.tagger = GazetteerTagger(extra_entities=config.extra_entities)
         self.re_model = RuleReScorer()
         self.supply_re = _SUPPLY_RE
         self.tokenizer = StubTokenizer(config.max_token_len)

@@ -49,20 +49,36 @@ NER_SCHEMA = pa.schema(
 class GazetteerTagger:
     """Deterministic ORG tagger: word-boundary longest-match over the
     fixed gazetteer (stub for spaCy NER — same span dict shape as
-    spacy_loader.py:84-97)."""
+    spacy_loader.py:84-97).
 
-    def __init__(self, surfaces: list[str] | None = None):
+    ``extra_entities`` recognizes the synthetic bench names
+    (gazetteer.synthetic_entity_names) via ONE shape pattern with an
+    index-range check instead of growing the alternation — per-token
+    cost stays constant as the entity space scales (a real NER model's
+    cost is entity-count independent; a 10k-way regex alternation's is
+    not)."""
+
+    def __init__(
+        self, surfaces: list[str] | None = None, extra_entities: int = 0
+    ):
         surfaces = surfaces or all_surface_forms()
-        pattern = "|".join(
-            re.escape(s) for s in sorted(surfaces, key=len, reverse=True)
-        )
-        self._re = re.compile(rf"\b(?:{pattern})\b")
+        self.extra_entities = extra_entities
+        alts = [re.escape(s) for s in sorted(surfaces, key=len, reverse=True)]
+        if extra_entities:
+            alts.insert(0, r"Synthco (\d{6}) Industries")
+        self._re = re.compile(rf"\b(?:{'|'.join(alts)})\b")
 
     def spans(self, sent: str) -> list[dict]:
-        return [
-            {"text": m.group(0), "label": "ORG", "start": m.start(), "end": m.end()}
-            for m in self._re.finditer(sent)
-        ]
+        out = []
+        for m in self._re.finditer(sent):
+            if m.lastindex and m.group(1) is not None:
+                if int(m.group(1)) >= self.extra_entities:
+                    continue  # shaped like a synthetic name, not issued
+            out.append(
+                {"text": m.group(0), "label": "ORG",
+                 "start": m.start(), "end": m.end()}
+            )
+        return out
 
 
 class NerActor:
@@ -75,7 +91,7 @@ class NerActor:
 
     def __init__(self, config: KGConfig = DEFAULT_CONFIG):
         self.config = config
-        self.tagger = GazetteerTagger()
+        self.tagger = GazetteerTagger(extra_entities=config.extra_entities)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sents = batch["sent"].to_pylist()

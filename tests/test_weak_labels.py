@@ -195,3 +195,64 @@ def test_relation_search(query, expected):
         )
         is expected
     )
+
+
+# ------------------------------------------------------------------- A6 --
+def test_is_aligned_main_relation_and_other():
+    from finance_sc_relations_ray.functions.weak_labels import is_aligned
+
+    ogs = {"Acme Corp": 1, "Acme": 1, "Globex Inc": 2}
+    # SME says supplier(e2 supplies e1): entity_2 is the supplier
+    align, sme = is_aligned(
+        "Globex Inc", "Acme Corp", "supplier", 1,
+        [["Acme", "supplier", "Globex Inc"]], ogs,
+    )
+    assert align is True
+    assert sme == ("Acme Corp", "supplier", "Globex Inc")
+    # customer orientation flips the tuple
+    align2, sme2 = is_aligned(
+        "Acme Corp", "Globex Inc", "customer", 1,
+        [["Acme", "supplier", "Globex Inc"]], ogs,
+    )
+    assert sme2 == ("Acme Corp", "supplier", "Globex Inc")
+    assert align2 is True
+    # 'other' aligns when the LLM saw no relations
+    align3, _ = is_aligned("A", "B", "other", 1, [], {})
+    assert align3 is True
+    # 'other' conflicts when the LLM names the expected supplier
+    align4, _ = is_aligned(
+        "Globex Inc", "Acme Corp", "other", 1,
+        [["Acme Corp", "supplier", "Globex Inc"]], ogs,
+    )
+    assert align4 is False
+    # main relation with an unrelated LLM supplier → conflict
+    align5, _ = is_aligned(
+        "Globex Inc", "Acme Corp", "supplier", 1,
+        [["Unrelated Co", "supplier", "Globex Inc"]], {},
+    )
+    assert align5 is False
+
+
+def test_alignment_rate_counts_conflicts():
+    from finance_sc_relations_ray.functions.weak_labels import alignment_rate
+
+    rows = [
+        {
+            "entity_1": "Globex Inc", "entity_2": "Acme Corp",
+            "inf_relations": "supplier", "label": 1,
+            "llms_relations": [["Acme Corp", "supplier", "Globex Inc"]],
+            "org_groups": {"Acme Corp": 1, "Globex Inc": 2},
+        },
+        {
+            "entity_1": "Globex Inc", "entity_2": "Acme Corp",
+            "inf_relations": "supplier", "label": 1,
+            "llms_relations": [["Initech", "supplier", "Hooli"]],
+            "org_groups": {},
+        },
+    ]
+    out = alignment_rate(rows)
+    assert out["n"] == 2 and out["rate"] == 0.5
+    assert len(out["conflicts"]) == 1
+    assert out["conflicts"][0]["sme_relation"] == (
+        "Acme Corp", "supplier", "Globex Inc"
+    )
