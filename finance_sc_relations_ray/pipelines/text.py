@@ -508,9 +508,12 @@ def ngram_jaccard_pairs(
             }
         )
 
+    # materialized once: both the per-doc count aggregate and the pair
+    # pipeline consume it — without this the read+shingle work runs
+    # twice (blocks live in the object store, spillable)
     shingle_rows = _read(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow"
-    )
+    ).materialize()
 
     # per-doc shingle counts: one row per doc, kept distributed in the
     # object store (materialized once, consumed by both join passes —
@@ -528,32 +531,31 @@ def ngram_jaccard_pairs(
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = [], []
-        for gram, grp in g.groupby("g"):
-            ids = sorted(set(grp["doc_id"].tolist()))
-            if max_doc_freq is not None and len(ids) > max_doc_freq:
+        """All same-shingle doc pairs in this bucket, via a vectorized
+        self-merge (the per-shingle Python loop was this query's
+        hotspot)."""
+        d = g[["g", "doc_id"]].drop_duplicates()
+        if max_doc_freq is not None:
+            df_counts = d["g"].value_counts()
+            hot = df_counts[df_counts > max_doc_freq]
+            if len(hot):
                 print(
-                    f"[ngram-jaccard] dropping hot shingle "
-                    f"(df={len(ids)} > {max_doc_freq}): {gram[:40]!r}"
+                    f"[ngram-jaccard] dropping {len(hot)} hot shingles "
+                    f"(df > {max_doc_freq}), hottest df={int(hot.iloc[0])}"
                 )
-                continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
+                d = d[~d["g"].isin(hot.index)]
+        m = d.merge(d, on="g", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m[["doc_id_a", "doc_id_b"]]
 
     def partial_count(batch: pa.Table) -> pa.Table:
-        agg: dict[tuple[int, int], int] = {}
-        for pa_, pb in zip(
-            batch["doc_id_a"].to_pylist(), batch["doc_id_b"].to_pylist()
-        ):
-            agg[(pa_, pb)] = agg.get((pa_, pb), 0) + 1
+        df = batch.select(["doc_id_a", "doc_id_b"]).to_pandas()
+        g = df.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
         return pa.table(
             {
-                "doc_id_a": pa.array([k[0] for k in agg], pa.int64()),
-                "doc_id_b": pa.array([k[1] for k in agg], pa.int64()),
-                "i": pa.array(list(agg.values()), pa.int64()),
+                "doc_id_a": pa.array(g["doc_id_a"], pa.int64()),
+                "doc_id_b": pa.array(g["doc_id_b"], pa.int64()),
+                "i": pa.array(g["size"], pa.int64()),
             }
         )
 
@@ -584,25 +586,18 @@ def ngram_jaccard_pairs(
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        rows_a, rows_b, jac = [], [], []
-        for da, db, i, na, nb in zip(
-            batch["doc_id_a"].to_pylist(),
-            batch["doc_id_b"].to_pylist(),
-            batch["i"].to_pylist(),
-            batch["n_a"].to_pylist(),
-            batch["n_b"].to_pylist(),
-        ):
-            union = na + nb - i
-            j = i / union if union else 1.0
-            if j >= threshold:
-                rows_a.append(da)
-                rows_b.append(db)
-                jac.append(round(j, 6))
+        i = batch["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = na + nb - i
+        j = np.divide(i, union, out=np.ones_like(i), where=union > 0)
+        mask = j >= threshold
+        kept = batch.filter(pa.array(mask))
         return pa.table(
             {
-                "doc_id_a": pa.array(rows_a, pa.int64()),
-                "doc_id_b": pa.array(rows_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "doc_id_a": kept["doc_id_a"],
+                "doc_id_b": kept["doc_id_b"],
+                "jaccard": pa.array(np.round(j[mask], 6), pa.float64()),
             }
         )
 

@@ -93,32 +93,53 @@ def bucket_lookup_join(
             cols[name] = batch[rcol].cast(payload_types[name])
         return pa.table(cols)
 
+    nested_payload = any(
+        pa.types.is_nested(payload_types[name]) for name in out_names
+    )
+
     def join_group(g: pa.Table) -> pa.Table:
-        side = g[_SIDE].to_pylist()
-        keys = g[on].to_pylist()
-        lookup: dict = {}
-        for i, s in enumerate(side):
-            if s == 1:
-                lookup[keys[i]] = i
-        left_idx = [i for i, s in enumerate(side) if s == 0]
-        if how == "inner":
-            left_idx = [i for i in left_idx if keys[i] in lookup]
-        out: dict[str, list] = {}
-        for name in left_names:
-            col = g[name].to_pylist()
-            out[name] = [col[i] for i in left_idx]
+        # vectorized split + hash join — no Python row loop. Arrow's
+        # hash join handles flat payloads; nested (list) payloads fall
+        # back to a pandas merge (lists ride as objects).
+        import pyarrow.compute as pc
+
+        left_rows = g.filter(pc.equal(g[_SIDE], 0)).select(left_names)
+        right_rows = g.filter(pc.equal(g[_SIDE], 1))
+        right_tbl = right_rows.select([on] + out_names).rename_columns(
+            ["__jkey"] + out_names
+        )
+        if nested_payload:
+            import pandas as pd  # noqa: F401
+
+            joined = left_rows.to_pandas().merge(
+                right_tbl.to_pandas(),
+                left_on=on,
+                right_on="__jkey",
+                how="inner" if how == "inner" else "left",
+            )
+            arrays = {
+                name: pa.array(
+                    joined[name].tolist(), type=left_schema.field(name).type
+                )
+                for name in left_names
+            }
+            for name in out_names:
+                arrays[name] = pa.array(
+                    [None if v is None or isinstance(v, float)
+                     else (v if isinstance(v, (list, tuple)) else list(v))
+                     for v in joined[name]],
+                    type=payload_types[name],
+                )
+            return pa.table(arrays)
+        joined = left_rows.join(
+            right_tbl,
+            keys=[on],
+            right_keys=["__jkey"],
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        arrays = {name: joined[name] for name in left_names}
         for name in out_names:
-            col = g[name].to_pylist()
-            out[name] = [
-                col[lookup[keys[i]]] if keys[i] in lookup else None
-                for i in left_idx
-            ]
-        arrays = {
-            name: pa.array(out[name], type=left_schema.field(name).type)
-            for name in left_names
-        }
-        for name in out_names:
-            arrays[name] = pa.array(out[name], type=payload_types[name])
+            arrays[name] = joined[name].combine_chunks().cast(payload_types[name])
         return pa.table(arrays)
 
     combined = left.map_batches(prep_left, batch_format="pyarrow").union(
