@@ -78,6 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return alias_items_dataset(_pages(sf_dir))
 
+    def kg_relation_items(sf_dir: str):
+        from finance_sc_relations_ray.pipelines.kg import relation_items_dataset
+
+        return relation_items_dataset(_pages(sf_dir))
+
     def pages_binary_meta(sf_dir: str):
         import ray.data
 
@@ -138,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_doc_relations": kg_doc_relations,
         "kg_alias_items": kg_alias_items,
+        "kg_relation_items": kg_relation_items,  # KV item shape (non-SQL)
         "kg_triples_shuffle_plan": kg_triples_shuffle_plan,
         "kg_training_data": kg_training_data,  # non-SQL (seeded split/shuffle)
         # multimodal binary-column plumbing (non-SQL)

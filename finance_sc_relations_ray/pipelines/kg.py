@@ -284,6 +284,88 @@ def alias_items_dataset(
     )
 
 
+ITEM_SCHEMA = pa.schema(
+    [
+        ("pk", pa.string()),
+        ("sk", pa.string()),
+        ("item_type", pa.string()),
+        ("extracted_name", pa.string()),
+        ("extracted_name_id", pa.string()),
+        ("candidate_ids", pa.list_(pa.string())),
+        ("representative_name", pa.string()),
+        ("reporter_name", pa.string()),
+        ("relationship_label", pa.string()),
+        ("prediction_score", pa.float64()),
+        ("sentence_ids", pa.list_(pa.int64())),
+    ]
+)
+
+
+def relation_items_dataset(
+    pages_path: str,
+    config: KGConfig = DEFAULT_CONFIG,
+    company_db: pa.Table | None = None,
+    read_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document relationship ITEMS — the reference's primary KV
+    output shape (reporter.py:30-73: PK per filing, SK per company,
+    extractedName(+Id/Candidates), representativeName, sentenceIds,
+    relationshipLabel, predictionScore). Common-Crawl analog: PK =
+    ``page#<url>`` (pages have no accession number), values from the
+    linked per-doc verdict stream."""
+    pipeline = build_kg_pipeline(
+        pages_path, config=config, company_db=company_db,
+        dedup=False, read_blocks=read_blocks, _emit_linked=True,
+    )
+
+    def to_items(batch: pa.Table) -> pa.Table:
+        out = {n: [] for n in ITEM_SCHEMA.names}
+        for row in batch.to_pylist():
+            if row["relation"] in ("_error", "_meta_dropped"):
+                continue
+            out["pk"].append(f"page#{row['url']}")
+            out["sk"].append(row["company"])
+            out["item_type"].append("relationship")
+            out["extracted_name"].append(row["company"])
+            out["extracted_name_id"].append(row.get("entity_id") or "null")
+            out["candidate_ids"].append(row.get("candidate_ids") or [])
+            out["representative_name"].append(
+                row.get("entity_name_db") or "null"
+            )
+            out["reporter_name"].append(row["reporter"])
+            out["relationship_label"].append(row["relation"])
+            out["prediction_score"].append(round(float(row["score"]), 3))
+            out["sentence_ids"].append(row["sentence_ids"])
+        return pa.table(
+            {n: pa.array(out[n], type=ITEM_SCHEMA.field(n).type)
+             for n in ITEM_SCHEMA.names}
+        )
+
+    return pipeline.map_batches(to_items, batch_format="pyarrow")
+
+
+def write_kv_items(
+    items: "ray.data.Dataset", out_dir: str, num_buckets: int = 64
+) -> None:
+    """S11 KV batch sink (parquet substitute for the DynamoDB
+    batch_write the environment has no endpoint for): items land in
+    ``bucket=<crc32(pk)%B>/`` hive partitions — the key-range sharding
+    a KV bulk-loader consumes shard-by-shard with idempotent re-puts;
+    the distributed write never funnels through the driver."""
+    import zlib
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [
+            zlib.crc32(k.encode("utf-8")) % num_buckets
+            for k in batch["pk"].to_pylist()
+        ]
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    items.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+
+
 def build_kg_pipeline(
     pages_path: str,
     config: KGConfig = DEFAULT_CONFIG,
@@ -293,6 +375,7 @@ def build_kg_pipeline(
     read_blocks: int | None = None,
     fused: bool = True,
     page_local: bool = True,
+    _emit_linked: bool = False,
 ) -> "ray.data.Dataset":
     """pages parquet → deduplicated canonical triples Dataset (lazy).
 
@@ -335,6 +418,8 @@ def build_kg_pipeline(
             concurrency=config.ner_concurrency,
             num_cpus=config.actor_num_cpus,
         )
+        if _emit_linked:
+            return linked
         if not dedup:
             return linked.map_batches(
                 functools.partial(to_triples_batch, config=config),
@@ -348,6 +433,8 @@ def build_kg_pipeline(
         scored = scored_pairs_dataset(sentences, config)
     docs = doc_relations_dataset(scored, config, num_partitions)
     linked = linked_dataset(docs, company_db, config)
+    if _emit_linked:
+        return linked
     if not dedup:
         return linked.map_batches(
             functools.partial(to_triples_batch, config=config),

@@ -71,3 +71,32 @@ def test_alias_items_linked(pages_path):
     # unlinked rows keyed deterministically too
     unlinked = df[df["entity_id"].isna()]
     assert (unlinked["item_key"].str.startswith("alias#unlinked#")).all()
+
+
+def test_relation_items_and_kv_sink(pages_path, tmp_path):
+    """S11: relationship items in the reference's KV shape
+    (reporter.py:30-73) + bucket-sharded parquet sink."""
+    import os
+
+    import ray.data
+
+    from finance_sc_relations_ray.pipelines.kg import (
+        relation_items_dataset,
+        write_kv_items,
+    )
+
+    items = relation_items_dataset(pages_path)
+    df = items.to_pandas()
+    assert len(df) > 0
+    assert df["pk"].str.startswith("page#").all()
+    assert (df["item_type"] == "relationship").all()
+    assert set(df["relationship_label"]) <= {"supplier", "customer", "other"}
+    linked = df[df["extracted_name_id"] != "null"]
+    assert len(linked) > 0  # entity linkage carried into the items
+
+    out = str(tmp_path / "items")
+    write_kv_items(relation_items_dataset(pages_path), out, num_buckets=8)
+    buckets = [d for d in os.listdir(out) if d.startswith("bucket=")]
+    assert 1 <= len(buckets) <= 8
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == len(df)
