@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "knn_cosine": S.knn_cosine,
         "lsh_bucketed_knn": S.lsh_bucketed_knn,  # non-SQL (approximate)
+        "ivf_knn": S.ivf_knn,  # non-SQL (approximate, seeded codebook)
         # KG pipeline (pages synthesized from documents; non-SQL)
         "kg_triples": kg_triples,
         "kg_doc_relations": kg_doc_relations,

@@ -69,6 +69,10 @@ class KGConfig:
     actor_num_cpus: float = 0.5
     # salted-shuffle fan for the hot-key dedup/canonicalize shuffles
     dedup_salt: int = 16
+    # NER backend (M2/M2'): "gazetteer" (fixed-list longest match) or
+    # "heuristic" (capitalized-run + corp-suffix — recognizes unseen
+    # names); real spaCy/HF models register in stages/ner.make_tagger
+    ner_backend: str = "gazetteer"
     # bench realism: extend the stub gazetteer with this many synthetic
     # entities so the entity space (and therefore the dedup exchange)
     # grows with the input instead of saturating (gazetteer.py)

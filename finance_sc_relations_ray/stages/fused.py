@@ -28,7 +28,7 @@ from ..config import DEFAULT_CONFIG, KGConfig
 from ..functions.grouping import detect_alias_candidates, filter_aliases, group_entities
 from ..functions.names import encode_names, similarity
 from ..functions.tagging import entity_annotation, inverse_relations
-from .ner import ALIAS_T, ORG_GROUP_T, GazetteerTagger
+from .ner import ALIAS_T, ORG_GROUP_T, make_tagger
 from .scoring import _SUPPLY_RE, RuleReScorer, _representative, prepare_for_scoring
 from .schema import check_schema
 
@@ -54,7 +54,7 @@ class SentencePairScorer:
 
         self.config = config
         self.reverse = reverse
-        self.tagger = GazetteerTagger(extra_entities=config.extra_entities)
+        self.tagger = make_tagger(config)
         self.re_model = RuleReScorer()
         self.supply_re = _SUPPLY_RE
         self.tokenizer = StubTokenizer(config.max_token_len)

@@ -81,17 +81,63 @@ class GazetteerTagger:
         return out
 
 
+_CORP_SUFFIX_TOKENS = (
+    "Inc", "Corp", "Corporation", "Company", "Co", "Ltd", "Limited",
+    "LLC", "Industries", "Holdings", "Group", "Technologies", "Systems",
+    "AG", "Enterprise", "Incorporated",
+)
+
+
+class HeuristicOrgTagger:
+    """Second NER backend (M2' — the reference ships BOTH a spaCy and
+    an HF token-classifier loader, src/language_model/spacy_loader.py vs
+    trf_loader.py, behind one span interface): model-free capitalized-
+    run + corporate-suffix heuristic emitting the same span dicts.
+
+    Unlike the gazetteer it recognizes UNSEEN org names (any capitalized
+    run ending in a corp suffix), so outputs differ by design — the
+    pipeline contract (schema, actor shape, determinism) is what both
+    backends share; pick via ``config.ner_backend``."""
+
+    # runs of Capitalized/ALLCAPS tokens whose LAST token is a corp
+    # suffix — e.g. "Acme Widget Corp", "Taiwan Semiconductor Ltd"
+    _RUN_RE = re.compile(
+        r"\b(?:[A-Z][\w&.]*\s+)*(?:" + "|".join(_CORP_SUFFIX_TOKENS) + r")\b"
+    )
+
+    def spans(self, sent: str) -> list[dict]:
+        out = []
+        for m in self._RUN_RE.finditer(sent):
+            text = m.group(0).strip()
+            if " " not in text:
+                continue  # a bare suffix token is not an org mention
+            out.append(
+                {"text": text, "label": "ORG",
+                 "start": m.start(), "end": m.start() + len(text)}
+            )
+        return out
+
+
+def make_tagger(config: KGConfig):
+    """Backend registry (M2/M2'): ``config.ner_backend`` selects the
+    tagger class; real spaCy/HF models slot in here."""
+    if config.ner_backend == "heuristic":
+        return HeuristicOrgTagger()
+    return GazetteerTagger(extra_entities=config.extra_entities)
+
+
 class NerActor:
     """Actor-pool callable: spans + org_groups + aliases per sentence.
 
-    Real-model swap point: replace ``GazetteerTagger`` with a spaCy/HF
-    pipeline and ``similarity``/``encode_names`` with a SimCSE encoder in
-    ``__init__`` — the __call__ body is model-agnostic.
+    Real-model swap point: replace the tagger from ``make_tagger`` with
+    a spaCy/HF pipeline and ``similarity``/``encode_names`` with a
+    SimCSE encoder in ``__init__`` — the __call__ body is
+    model-agnostic.
     """
 
     def __init__(self, config: KGConfig = DEFAULT_CONFIG):
         self.config = config
-        self.tagger = GazetteerTagger(extra_entities=config.extra_entities)
+        self.tagger = make_tagger(config)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sents = batch["sent"].to_pylist()

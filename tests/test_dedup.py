@@ -95,3 +95,22 @@ def test_lsh_knn_recall_vs_exact():
     # recall of top-5 with 4 hyperplanes should be nonzero on 500 vecs
     recall = len(overlap) / len(e)
     assert recall > 0.1, recall
+
+
+def test_ivf_knn_recall_vs_exact():
+    from finance_sc_relations_ray.pipelines.similarity import ivf_knn
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_cosine(sf, n_queries=8, k=5)
+    approx = ivf_knn(sf, n_queries=8, k=5, n_lists=8, n_probe=3)
+    e = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    a = {(r.query_id, r.vec_id): r.cosine for r in approx.itertuples()}
+    overlap = set(e) & set(a)
+    # cosines agree exactly wherever exact and IVF overlap
+    assert all(abs(e[x] - a[x]) < 1e-9 for x in overlap)
+    # probing 3/8 lists on 500 vecs must recover a good chunk of top-5
+    recall = len(overlap) / len(e)
+    assert recall > 0.4, recall
+    # determinism (seeded codebook)
+    again = ivf_knn(sf, n_queries=8, k=5, n_lists=8, n_probe=3)
+    assert approx.equals(again)
