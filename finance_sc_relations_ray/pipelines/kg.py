@@ -143,11 +143,19 @@ def doc_relations_dataset(
     ).map_batches(add_bucket, batch_format="pyarrow")
     if num_partitions:
         ds = ds.repartition(num_partitions)
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    # num_cpus also blocks downstream-map fusion: a fused map would
+    # re-bundle the sorted blocks and aggregate_bucket would see a url
+    # split across calls (stages/joins.py NO_FUSE_NUM_CPUS rationale) —
+    # the downstream link actors' num_cpus=0.5 already blocks it, but
+    # the guarantee must not depend on what the caller appends
     return (
         ds.groupby("bucket")
         .map_groups(
             functools.partial(aggregate_bucket, config=config),
             batch_format="pyarrow",
+            num_cpus=NO_FUSE_NUM_CPUS,
         )
     )
 

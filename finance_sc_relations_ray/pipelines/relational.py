@@ -487,10 +487,14 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
             rows, columns=["user_id", "n_sessions", "max_session_events", "n_events"]
         )
 
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(
+            sessions, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
         .to_pandas()
         .drop(columns=["bucket"], errors="ignore")
         .sort_values("user_id")

@@ -313,10 +313,14 @@ def minhash_dup_pairs(
                     b.append(ids[j])
         return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
 
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
     cand = (
         bands_ds.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(
+            bucket_pairs, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
         .to_pandas()
     )
     if len(cand) == 0:
@@ -531,9 +535,11 @@ def ngram_jaccard_pairs(
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """All same-shingle doc pairs in this bucket, via a vectorized
-        self-merge (the per-shingle Python loop was this query's
-        hotspot)."""
+        """Same-shingle doc pairs in this coarse bucket via a
+        vectorized self-merge, PRE-COUNTED per pair (the per-bucket
+        combiner), keyed by an int pair-hash bucket for the final
+        exchange — a 2-int-key global aggregate over the raw pair
+        stream was this query's hotspot (14 s of a 23 s run)."""
         d = g[["g", "doc_id"]].drop_duplicates()
         if max_doc_freq is not None:
             df_counts = d["g"].value_counts()
@@ -546,27 +552,37 @@ def ngram_jaccard_pairs(
                 d = d[~d["g"].isin(hot.index)]
         m = d.merge(d, on="g", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
-        return m[["doc_id_a", "doc_id_b"]]
-
-    def partial_count(batch: pa.Table) -> pa.Table:
-        df = batch.select(["doc_id_a", "doc_id_b"]).to_pandas()
-        g = df.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
-        return pa.table(
+        c = m.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
+        a = c["doc_id_a"].to_numpy(dtype=np.uint64)
+        b = c["doc_id_b"].to_numpy(dtype=np.uint64)
+        pb = ((a * np.uint64(2654435761) + b) % np.uint64(64)).astype(np.int32)
+        return pd.DataFrame(
             {
-                "doc_id_a": pa.array(g["doc_id_a"], pa.int64()),
-                "doc_id_b": pa.array(g["doc_id_b"], pa.int64()),
-                "i": pa.array(g["size"], pa.int64()),
+                "doc_id_a": c["doc_id_a"],
+                "doc_id_b": c["doc_id_b"],
+                "i": c["size"],
+                "pb": pb,
             }
         )
 
-    from ray.data.aggregate import Sum as _Sum
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_id_a", "doc_id_b"], as_index=False)["i"].sum()
+        return out
 
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    # num_cpus on both group stages blocks downstream-map fusion (see
+    # stages/joins.py NO_FUSE_NUM_CPUS): a fused map re-bundles sorted
+    # blocks → partial groups → missed pairs / partial sums
     inter = (
         shingle_rows.groupby("coarse")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(partial_count, batch_format="pyarrow")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .aggregate(_Sum("i", alias_name="i"))
+        .map_groups(
+            bucket_pairs, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
+        .groupby("pb")
+        .map_groups(
+            sum_pairs, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
     )
 
     from ..stages.joins import bucket_lookup_join

@@ -199,11 +199,15 @@ def doc_majority_labels(examples: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
     return (
         examples.select_columns(["url", "relations"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["url", "relations"])
         .aggregate(Sum("n", alias_name="n"))
         .groupby("url")
-        .map_groups(argmax, batch_format="pyarrow")
+        .map_groups(
+            argmax, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
+        )
     )

@@ -120,9 +120,16 @@ def salted_dedup(
     regardless of key skew; the group-side merge reuses the combiner
     (associative merge), so per-group input is ≤ #batches rows.
     """
+    from .joins import NO_FUSE_NUM_CPUS
+
     partial = ds.map_batches(
         lambda b: partial_dedup_batch(b, keys), batch_format="pyarrow"
     )
+    # num_cpus blocks downstream-map fusion: a fused map re-bundles the
+    # sorted blocks and the merge fn would see partial groups →
+    # duplicate keys (stages/joins.py NO_FUSE_NUM_CPUS rationale)
     return partial.groupby(keys).map_groups(
-        lambda g: partial_dedup_batch(g, keys), batch_format="pyarrow"
+        lambda g: partial_dedup_batch(g, keys),
+        batch_format="pyarrow",
+        num_cpus=NO_FUSE_NUM_CPUS,
     )

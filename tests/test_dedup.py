@@ -114,3 +114,33 @@ def test_ivf_knn_recall_vs_exact():
     # determinism (seeded codebook)
     again = ivf_knn(sf, n_queries=8, k=5, n_lists=8, n_probe=3)
     assert approx.equals(again)
+
+
+def test_ngram_jaccard_stable_across_runs_sf01():
+    """Regression for the Ray operator-fusion partial-group hazard
+    (stages/joins.py NO_FUSE_NUM_CPUS): before the fix, ~1 run in 5
+    lost 98% of join rows when the bucket join's map_groups fused with
+    the downstream finalize map. Three runs at the size that triggered
+    it must agree with each other and with DuckDB."""
+    import os
+
+    import duckdb
+
+    from finance_sc_relations_ray.pipelines.text import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    import __ray_entry__ as e
+
+    expected = len(con.execute(e.oracle_sql()["ngram_jaccard_pairs"]).df())
+    for run in range(3):
+        got = ngram_jaccard_pairs(sf)
+        assert len(got) == expected, (run, len(got), expected)
