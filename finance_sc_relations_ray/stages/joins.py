@@ -30,6 +30,7 @@ from __future__ import annotations
 import zlib
 
 import pyarrow as pa
+from pandas import isna as pd_isna
 
 import ray.data
 
@@ -108,14 +109,17 @@ def bucket_lookup_join(
             cols[name] = batch[rcol].cast(payload_types[name])
         return pa.table(cols)
 
-    nested_payload = any(
-        pa.types.is_nested(payload_types[name]) for name in out_names
-    )
+    nested = {
+        name: pa.types.is_nested(payload_types[name]) for name in out_names
+    }
 
     def join_group(g: pa.Table) -> pa.Table:
-        # vectorized split + hash join — no Python row loop. Arrow's
-        # hash join handles flat payloads; nested (list) payloads fall
-        # back to a pandas merge (lists ride as objects).
+        # vectorized split + pandas hash merge — no Python row loop.
+        # Deliberately NOT pyarrow Table.join: Acero's hash join run
+        # inside many concurrent Ray tasks SILENTLY DROPPED rows in
+        # this repo (deterministically at 32 CPUs on the chained-join
+        # jaccard path: 17,356 of 1,130,536 rows survived; the same
+        # pipeline with this pandas merge is exact on every trial).
         import pyarrow.compute as pc
 
         left_rows = g.filter(pc.equal(g[_SIDE], 0)).select(left_names)
@@ -123,38 +127,39 @@ def bucket_lookup_join(
         right_tbl = right_rows.select([on] + out_names).rename_columns(
             ["__jkey"] + out_names
         )
-        if nested_payload:
-            import pandas as pd  # noqa: F401
-
-            joined = left_rows.to_pandas().merge(
-                right_tbl.to_pandas(),
-                left_on=on,
-                right_on="__jkey",
-                how="inner" if how == "inner" else "left",
-            )
-            arrays = {
-                name: pa.array(
-                    joined[name].tolist(), type=left_schema.field(name).type
+        joined = left_rows.to_pandas().merge(
+            right_tbl.to_pandas(),
+            left_on=on,
+            right_on="__jkey",
+            how="inner" if how == "inner" else "left",
+        )
+        arrays = {}
+        for name in left_names:
+            t = left_schema.field(name).type
+            col = joined[name]
+            if pa.types.is_nested(t):
+                arrays[name] = pa.array(
+                    [None if v is None else list(v) for v in col], type=t
                 )
-                for name in left_names
-            }
-            for name in out_names:
+            else:
+                arrays[name] = pa.array(col.tolist(), type=t)
+        for name in out_names:
+            t = payload_types[name]
+            if nested[name]:
                 arrays[name] = pa.array(
                     [None if v is None or isinstance(v, float)
                      else (v if isinstance(v, (list, tuple)) else list(v))
                      for v in joined[name]],
-                    type=payload_types[name],
+                    type=t,
                 )
-            return pa.table(arrays)
-        joined = left_rows.join(
-            right_tbl,
-            keys=[on],
-            right_keys=["__jkey"],
-            join_type="inner" if how == "inner" else "left outer",
-        )
-        arrays = {name: joined[name] for name in left_names}
-        for name in out_names:
-            arrays[name] = joined[name].combine_chunks().cast(payload_types[name])
+            else:
+                col = joined[name]
+                if how == "left":
+                    arrays[name] = pa.array(
+                        [None if pd_isna(v) else v for v in col], type=t
+                    )
+                else:
+                    arrays[name] = pa.array(col.tolist(), type=t)
         return pa.table(arrays)
 
     combined = left.map_batches(prep_left, batch_format="pyarrow").union(
