@@ -64,12 +64,23 @@ def sentencize_documents(sf_dir: str) -> "ray.data.Dataset":
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+# Arrow's regex kernels ARE RE2, so these vectorized versions share
+# regex semantics with the DuckDB oracle by construction (the round-1
+# per-row Python loops matched only because textops pinned Python re to
+# the RE2-compatible subset).
+_TOKEN_PAT = r"[^ \t\n\f\r]+"  # RE2 '\S+'
+_WS_PAT = r"[ \t\n\f\r]"
+_PUNCT_PAT = r"[.,;:!?]"
+
+
 # ------------------------------------------------------ token counts ----
 def token_counts(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.compute as pc
+
     def f(batch: pa.Table) -> pa.Table:
-        n = [textops.token_count(t) for t in batch["text"].to_pylist()]
+        n = pc.count_substring_regex(batch["text"], _TOKEN_PAT)
         return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+            {"doc_id": batch["doc_id"], "n_tokens": n.cast(pa.int64())}
         )
 
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
@@ -77,19 +88,42 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
 
 # ---------------------------------------------------- quality scoring ---
 def doc_quality(sf_dir: str) -> "ray.data.Dataset":
+    """Quality signals, fully vectorized: mean token length =
+    (non-whitespace chars) / n_tokens — identical to the sum of token
+    lengths over tokens, without materializing the tokens."""
+    import pyarrow.compute as pc
+
     def f(batch: pa.Table) -> pa.Table:
-        rows = [textops.quality_metrics(t) for t in batch["text"].to_pylist()]
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_tokens = pc.count_substring_regex(text, _TOKEN_PAT).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_ws = pc.count_substring_regex(text, _WS_PAT).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_punct = pc.count_substring_regex(text, _PUNCT_PAT).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_len = np.round(
+            np.divide(n_chars - n_ws, n_tokens,
+                      out=np.zeros_like(n_chars), where=n_tokens > 0),
+            6,
+        )
+        punct_ratio = np.round(
+            np.divide(n_punct, n_chars,
+                      out=np.zeros_like(n_chars), where=n_chars > 0),
+            6,
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
-                "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
-                "mean_token_len": pa.array(
-                    [r["mean_token_len"] for r in rows], pa.float64()
-                ),
-                "punct_ratio": pa.array(
-                    [r["punct_ratio"] for r in rows], pa.float64()
-                ),
+                "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+                "mean_token_len": pa.array(mean_len, pa.float64()),
+                "punct_ratio": pa.array(punct_ratio, pa.float64()),
             }
         )
 
@@ -98,10 +132,26 @@ def doc_quality(sf_dir: str) -> "ray.data.Dataset":
 
 # ----------------------------------------------------------- lang id ----
 def lang_id_documents(sf_dir: str) -> "ray.data.Dataset":
+    import pyarrow.compute as pc
+
+    from ..functions.textops import LANG_PATTERNS
+
     def f(batch: pa.Table) -> pa.Table:
-        preds = [textops.lang_id(t) for t in batch["text"].to_pylist()]
+        low = pc.utf8_lower(batch["text"])
+        counts = {
+            lang: pc.count_substring_regex(low, pat)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            for lang, pat in LANG_PATTERNS.items()
+        }
+        en, de, fr = counts["en"], counts["de"], counts["fr"]
+        preds = np.full(len(en), "und", dtype=object)
+        preds[en > 0] = "en"
+        preds[de > en] = "de"
+        preds[(fr > en) & (fr > de)] = "fr"
         return pa.table(
-            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+            {"doc_id": batch["doc_id"],
+             "lang_pred": pa.array(preds.tolist(), pa.string())}
         )
 
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
@@ -130,13 +180,23 @@ def filter_quality_documents(
     target language tag — the standard pretraining-corpus filter shape,
     fully vectorizable and SQL-mirrored."""
 
+    import pyarrow.compute as pc
+
     def f(batch: pa.Table) -> pa.Table:
-        keep = []
-        for text in batch["text"].to_pylist():
-            n_tokens = textops.token_count(text)
-            n_punct = len(textops._PUNCT_CLASS_RE.findall(text))
-            ratio = n_punct / len(text) if text else 0.0  # unrounded (SQL parity)
-            keep.append(n_tokens >= min_tokens and ratio <= max_punct_ratio)
+        text = batch["text"]
+        n_tokens = pc.count_substring_regex(text, _TOKEN_PAT).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_punct = pc.count_substring_regex(text, _PUNCT_PAT).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        ratio = np.divide(  # unrounded (SQL parity)
+            n_punct, n_chars, out=np.zeros_like(n_punct), where=n_chars > 0
+        )
+        keep = (n_tokens >= min_tokens) & (ratio <= max_punct_ratio)
         return pa.table(
             {"doc_id": batch["doc_id"], "n_chars": batch["n_chars"]}
         ).filter(pa.array(keep))
