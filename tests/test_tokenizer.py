@@ -172,3 +172,22 @@ def test_page_actor_emits_drop_accounting(tmp_path):
 
     merged = ray.data.read_parquet(out).to_pandas()
     assert (merged["pred"] == "_dropped_markers").sum() == 0
+
+
+def test_tokenizer_artifact_roundtrip(tmp_path):
+    """ST5: the tokenizer ships as a pickled artifact (the reference
+    pickles its tokenizer alongside the model); a loaded artifact must
+    encode identically."""
+    import pickle
+
+    tok = StubTokenizer(max_len=48)
+    p = tmp_path / "tokenizer.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(tok, f)
+    with open(p, "rb") as f:
+        loaded = pickle.load(f)
+    assert loaded.max_len == 48
+    assert loaded.encode(TAGGED) == tok.encode(TAGGED)
+    assert get_e1e2_start(loaded.encode(TAGGED)) == get_e1e2_start(
+        tok.encode(TAGGED)
+    )
