@@ -524,15 +524,25 @@ def heavy_hitter_tokens(sf_dir: str, min_fraction: float = 0.005) -> pd.DataFram
             }
         )
 
+    # the distinct-token count table is web-scale (billions of rows of
+    # noise tokens) — it stays distributed; only the SCALAR total and
+    # the ≤ 1/min_fraction heavy rows ever reach the driver
     counts = (
         _read(sf_dir, ["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(_Sum("n_occurrences", alias_name="n_occurrences"))
-        .to_pandas()
+        .materialize()
     )
-    total = counts["n_occurrences"].sum()
-    out = counts[counts["n_occurrences"] >= min_fraction * total]
+    total = counts.sum("n_occurrences")
+    floor = min_fraction * total
+
+    def heavy(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["n_occurrences"], floor))
+
+    out = counts.map_batches(heavy, batch_format="pyarrow").to_pandas()
     return out.sort_values("tok").reset_index(drop=True)
 
 
