@@ -47,6 +47,25 @@ _MARKER_RE = re.compile(r"(\[E1\]|\[/E1\]|\[E2\]|\[/E2\])")
 _WORD_RE = re.compile(r"\w+|[^\w\s]")
 _PIECE = 4  # greedy word-piece length
 
+# word → piece-id tuple memo (per worker). Natural-language words
+# repeat massively, and tokenization is ~1/3 of the per-page cost in
+# the fused actor without this (profiled at 300 pages / 400 entities).
+_WORD_IDS: dict[str, tuple[int, ...]] = {}
+_WORD_IDS_MAX = 500_000
+
+
+def _word_ids(word: str) -> tuple[int, ...]:
+    hit = _WORD_IDS.get(word)
+    if hit is None:
+        hit = tuple(
+            _VOCAB_OFFSET
+            + zlib.crc32(word[i : i + _PIECE].encode("utf-8")) % _VOCAB_BUCKETS
+            for i in range(0, len(word), _PIECE)
+        )
+        if len(_WORD_IDS) < _WORD_IDS_MAX:
+            _WORD_IDS[word] = hit
+    return hit
+
 
 class StubTokenizer:
     """Deterministic tokenizer stub behind the HF-encode-shaped
@@ -70,12 +89,7 @@ class StubTokenizer:
                 ids.append(marker)
                 continue
             for word in _WORD_RE.findall(piece.lower()):
-                for i in range(0, len(word), _PIECE):
-                    chunk = word[i : i + _PIECE]
-                    ids.append(
-                        _VOCAB_OFFSET
-                        + zlib.crc32(chunk.encode("utf-8")) % _VOCAB_BUCKETS
-                    )
+                ids.extend(_word_ids(word))
         ids.append(SEP_ID)
         # truncation loses the tail INCLUDING any markers there — that
         # is exactly the invalid-row condition the drop accounting
