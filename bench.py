@@ -126,11 +126,14 @@ def run_bench() -> dict:
     timings: dict[str, float] = {"kg_pipeline": round(kg_sec, 3)}
     if kg_sat_sec is not None:
         timings["kg_pipeline_saturated"] = round(kg_sat_sec, 3)
+    import ray.data as _rd
+
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
-        if hasattr(res, "count") and not hasattr(res, "columns"):
-            res.count()  # consume lazy Datasets
+        if isinstance(res, _rd.Dataset):
+            res.count()  # consume lazy Datasets (NB: Dataset also has a
+            # .columns() METHOD — a hasattr check mis-skips execution)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {
