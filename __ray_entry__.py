@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_class_weights": M.segment_class_weights,
         "token_length_quantiles": M.token_length_quantiles,
         "stratified_split_documents": M.stratified_split_documents,  # seeded, non-SQL
+        "hash_split_documents": M.hash_split_documents,
         "embedding_dup_pairs": M.embedding_dup_pairs,
         # similarity search over embeddings
         "knn_cosine": S.knn_cosine,
@@ -376,6 +377,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.95 AS quantile, round(quantile_cont(n, 0.95), 6) AS n_tokens FROM c
             UNION ALL
             SELECT 0.99 AS quantile, round(quantile_cont(n, 0.99), 6) AS n_tokens FROM c
+        """,
+        "hash_split_documents": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(
+                            md5('split-42|' || doc_id::VARCHAR), 1, 8
+                        ))::UBIGINT < 0.2 * 4294967296
+                        THEN 'valid' ELSE 'train' END AS split
+            FROM documents
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

@@ -74,6 +74,23 @@ def hash_split(key, valid_frac: float = 0.2, seed_key: str = "split-42") -> str:
     return "valid" if h < valid_frac * 4294967296.0 else "train"
 
 
+def md5_hash_split(
+    key, valid_frac: float = 0.2, seed_key: str = "split-42"
+) -> str:
+    """``hash_split`` with md5 as the hash so the assignment is
+    SQL-expressible (DuckDB: ``('0x' || substr(md5(seed||'|'||key),1,8))
+    ::UBIGINT < frac * 2^32``) and oracle-checkable end-to-end. Same
+    stateless no-broadcast/no-shuffle property as ``hash_split``; use
+    the crc32 variant where speed matters and this one where parity
+    must be provable."""
+    import hashlib
+
+    h = int(
+        hashlib.md5(f"{seed_key}|{key}".encode("utf-8")).hexdigest()[:8], 16
+    )
+    return "valid" if h < valid_frac * 4294967296.0 else "train"
+
+
 def k_fold_assign(
     doc_ids: list[int], k: int = 5, seed_key: str = "fold-42"
 ) -> dict[int, int]:

@@ -77,6 +77,33 @@ def stratified_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataF
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def hash_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataFrame:
+    """Stateless hash-based doc split (O4's 100-TB form): the assignment
+    is a pure function of ``doc_id`` computed inside ``map_batches`` —
+    no driver map, no broadcast, no shuffle, independent of block
+    boundaries. Uses the md5 variant so a DuckDB oracle can verify the
+    exact per-document assignment (see ``oracle_sql``)."""
+    from ..functions.fuzzy import md5_hash_split
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(
+                    [md5_hash_split(d, valid_frac) for d in ids], pa.string()
+                ),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b with cosine
     ≥ threshold). The full matrix is broadcast once (small side); each
