@@ -500,3 +500,49 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------- as-of join ----
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """Backward as-of join (stages/joins.asof_join): each 'click' event
+    is joined to the latest 'view' event of the SAME user at or before
+    its timestamp (the session-attribution shape). Unmatched clicks are
+    dropped (inner). Oracle: DuckDB ``ASOF JOIN``."""
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = left.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    right = right.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ..stages.joins import asof_join
+
+    out = asof_join(
+        left,
+        right,
+        by="user_id",
+        ts="ts",
+        payload={"event_id": "match_event_id", "value": "match_value"},
+        left_schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+            ]
+        ),
+        payload_types={
+            "match_event_id": pa.int64(),
+            "match_value": pa.float64(),
+        },
+    ).to_pandas()
+    # match_value passes through unmodified (no arithmetic) — no
+    # rounding, so engine and oracle compare bit-exact floats
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -168,3 +168,129 @@ def bucket_lookup_join(
     return combined.groupby(_BUCKET).map_groups(
         join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
     )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    ts: str,
+    payload: dict[str, str],
+    left_schema: pa.Schema,
+    payload_types: dict[str, pa.DataType],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed backward as-of join (an operator Ray Data lacks):
+    each left row gets the payload of the LATEST right row with the
+    same ``by`` key and ``right[ts] <= left[ts]``; left rows with no
+    such right row are dropped (inner semantics — keeps output types
+    null-free for exact oracle comparison).
+
+    Composition (custom-operator path (a)): both sides are hash-
+    bucketed on ``by`` and unioned; one ``groupby(bucket).map_groups``
+    runs a vectorized ``pandas.merge_asof`` per bucket. ONE all-to-all
+    exchange; per-task memory is ~(|L|+|R|)/num_buckets.
+
+    Partitioning assumption: all rows of one ``by`` key land in one
+    bucket (required for correctness) and a bucket fits a task heap —
+    size ``num_buckets`` to the combined table. For time-series where
+    single keys outgrow a task, sub-partition by coarse time range and
+    duplicate each right partition's last row into the next range
+    (not needed at this repo's key cardinalities).
+
+    Determinism with duplicate right timestamps: among right rows that
+    tie on ``(by, ts)`` the one with the greatest first-payload value
+    wins (callers pass a unique id as the first payload column), on
+    both this side and the DuckDB ``ASOF JOIN`` oracle (arg_max).
+    """
+    out_names = list(payload.values())
+    left_names = list(left_schema.names)
+    tiebreak = out_names[0]
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            _BUCKET: pa.array(
+                [_bucket_of(v, num_buckets) for v in batch[by].to_pylist()],
+                pa.int32(),
+            ),
+            _SIDE: pa.array([0] * batch.num_rows, pa.int8()),
+        }
+        for name in left_names:
+            cols[name] = batch[name]
+        for name in out_names:
+            cols[name] = pa.nulls(batch.num_rows, payload_types[name])
+        return pa.table(cols)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[by].to_pylist()
+        cols = {
+            _BUCKET: pa.array(
+                [_bucket_of(v, num_buckets) for v in keys], pa.int32()
+            ),
+            _SIDE: pa.array([1] * n, pa.int8()),
+        }
+        for name in left_names:
+            if name == by:
+                cols[name] = pa.array(keys, left_schema.field(by).type)
+            elif name == ts:
+                cols[name] = batch[ts].cast(left_schema.field(ts).type)
+            else:
+                cols[name] = pa.nulls(n, left_schema.field(name).type)
+        for rcol, name in payload.items():
+            cols[name] = batch[rcol].cast(payload_types[name])
+        return pa.table(cols)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
+        rt = (
+            g.filter(pc.equal(g[_SIDE], 1))
+            .select([by, ts] + out_names)
+            .to_pandas()
+        )
+        if len(lt) == 0 or len(rt) == 0:
+            return pa.table(
+                {
+                    **{n: pa.array([], left_schema.field(n).type)
+                       for n in left_names},
+                    **{n: pa.array([], payload_types[n]) for n in out_names},
+                }
+            )
+        # deterministic tie-break among equal (by, ts) right rows
+        rt = (
+            rt.sort_values([ts, tiebreak], kind="mergesort")
+            .drop_duplicates([by, ts], keep="last")
+            .sort_values(ts, kind="mergesort")
+        )
+        joined = __import__("pandas").merge_asof(
+            lt.sort_values(ts, kind="mergesort"),
+            rt,
+            on=ts,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        joined = joined.dropna(subset=[tiebreak])
+        arrays = {}
+        for name in left_names:
+            arrays[name] = pa.array(
+                joined[name].tolist(), type=left_schema.field(name).type
+            )
+        for name in out_names:
+            t = payload_types[name]
+            col = joined[name]
+            if pa.types.is_integer(t):
+                # merge_asof upcasts int payload to float64 (NaN slots,
+                # dropped above) — restore before typed construction
+                col = col.astype("int64")
+            arrays[name] = pa.array(col.tolist(), type=t)
+        return pa.table(arrays)
+
+    combined = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+    return combined.groupby(_BUCKET).map_groups(
+        join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
+    )
