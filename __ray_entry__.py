@@ -131,7 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
-        "simhash_documents": T.simhash_documents,  # non-SQL (sketch)
+        "simhash_documents": T.simhash_documents,
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
         "token_length_quantiles": M.token_length_quantiles,
@@ -397,6 +397,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.95 AS quantile, round(quantile_cont(n, 0.95), 6) AS n_tokens FROM c
             UNION ALL
             SELECT 0.99 AS quantile, round(quantile_cont(n, 0.99), 6) AS n_tokens FROM c
+        """,
+        "simhash_documents": r"""
+            WITH t AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS c,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM t GROUP BY doc_id, tok
+            ), bits AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN (h >> i) & 1 = 1 THEN c ELSE -c END) AS acc
+                FROM tc CROSS JOIN (SELECT unnest(range(64)) AS i) b
+                GROUP BY doc_id, i
+            ), u AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0
+                                THEN (1::UBIGINT << i)::HUGEINT
+                                ELSE 0 END) AS uh
+                FROM bits GROUP BY doc_id
+            )
+            -- two's-complement reinterpretation of the unsigned hash;
+            -- LEFT JOIN keeps token-less docs at simhash 0
+            SELECT d.doc_id,
+                   coalesce((u.uh - CASE WHEN u.uh >= 9223372036854775808
+                                         THEN 18446744073709551616::HUGEINT
+                                         ELSE 0 END)::BIGINT,
+                            0) AS simhash
+            FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id
         """,
         "hash_split_documents": """
             SELECT doc_id,

@@ -10,6 +10,7 @@ plus their own pytest oracles (tests/test_dedup.py).
 
 from __future__ import annotations
 
+import functools
 import os
 import zlib
 
@@ -698,12 +699,26 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------- SimHash -----
+@functools.lru_cache(maxsize=1 << 20)
+def _md5_64(s: str) -> int:
+    """md5-derived 64-bit token hash (unsigned, as int) — chosen over
+    the crc32 ``_hash64`` for SimHash so the whole sketch is
+    SQL-expressible: DuckDB computes the identical value as
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``. Cached per worker
+    process (token vocab is small relative to the corpus)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
 def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
-    """64-bit SimHash over word features (crc32-hashed tokens),
+    """64-bit SimHash over word features (md5-hashed tokens),
     vectorized: per doc, UNIQUE tokens are hashed once, their 64 bits
     unpacked in one ``np.unpackbits`` call, and the signed bit tally is
     a count-weighted matvec — no per-bit Python loop (the round-1
-    version burned 64 interpreter iterations per token)."""
+    version burned 64 interpreter iterations per token). Exactly
+    replicated by a DuckDB oracle (token × bit expansion + signed
+    tally — see ``oracle_sql()['simhash_documents']``)."""
     assert bits == 64
 
     def f(batch: pa.Table) -> pa.Table:
@@ -715,8 +730,8 @@ def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
             uniq, counts = np.unique(np.asarray(toks, dtype=object),
                                      return_counts=True)
             h = np.fromiter(
-                (_hash64(t) for t in uniq), dtype=np.int64, count=len(uniq)
-            ).view(np.uint64)
+                (_md5_64(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+            )
             # (n_tok, 64) bit matrix; bit i of row t == (h[t] >> i) & 1
             bit_mat = np.unpackbits(
                 h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
