@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_event_type": R.top_users_per_event_type,
         "user_sessions": R.user_sessions,
         "events_asof_join": R.events_asof_join,
+        "events_range_join": R.events_range_join,
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
         "sentencize_documents": T.sentencize_documents,
@@ -298,6 +299,17 @@ def oracle_sql() -> dict[str, str]:
                    r.value    AS match_value
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_range_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS match_event_id,
+                   r.value    AS match_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view') r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
         """,
         "clean_documents": f"""
             SELECT doc_id,

@@ -98,9 +98,12 @@ def scaled_config(num_cpus: int) -> KGConfig:
     # remainder is headroom for the link pool, read tasks and the
     # object store — an oversubscribed pool (pool == all CPUs) measured
     # ~30% slower at 32 CPUs
+    import os
+
+    frac = float(os.environ.get("GRAFT_POOL_FRACTION", "0.8"))
     return KGConfig(
-        ner_concurrency=max(4, int(num_cpus * 0.8)),
-        re_concurrency=max(4, int(num_cpus * 0.8)),
+        ner_concurrency=max(4, int(num_cpus * frac)),
+        re_concurrency=max(4, int(num_cpus * frac)),
         sc_concurrency=max(2, num_cpus // 4),
         link_concurrency=max(2, num_cpus // 8),
     )

@@ -546,3 +546,54 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     # match_value passes through unmodified (no arithmetic) — no
     # rounding, so engine and oracle compare bit-exact floats
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_range_join(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
+    """Interval join (stages/joins.range_join): each 'click' event is
+    joined to EVERY 'view' event of the same user within the preceding
+    ``window_min`` minutes (inclusive) — the all-matches companion to
+    ``events_asof_join``. Oracle: DuckDB BETWEEN range join."""
+    import datetime
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = left.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    right = right.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ..stages.joins import range_join
+
+    out = range_join(
+        left,
+        right,
+        by="user_id",
+        ts="ts",
+        lower_offset=datetime.timedelta(minutes=-window_min),
+        upper_offset=datetime.timedelta(0),
+        payload={"event_id": "match_event_id", "value": "match_value"},
+        left_schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+            ]
+        ),
+        payload_types={
+            "match_event_id": pa.int64(),
+            "match_value": pa.float64(),
+        },
+    ).to_pandas()
+    return out.sort_values(
+        ["event_id", "match_event_id"]
+    ).reset_index(drop=True)

@@ -294,3 +294,141 @@ def asof_join(
     return combined.groupby(_BUCKET).map_groups(
         join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
     )
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    ts: str,
+    lower_offset,
+    upper_offset,
+    payload: dict[str, str],
+    left_schema: pa.Schema,
+    payload_types: dict[str, pa.DataType],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed interval (range) join: emit one output row for EVERY
+    right row with the same ``by`` key whose timestamp falls in
+    ``[left[ts] + lower_offset, left[ts] + upper_offset]`` (both
+    pandas/``datetime.timedelta`` offsets, bounds inclusive — the
+    all-matches companion to ``asof_join``'s latest-match). Inner
+    semantics: left rows with no match emit nothing.
+
+    Same physical plan as ``asof_join`` (hash-bucket both sides on
+    ``by``, union, one ``groupby(bucket).map_groups``); inside a bucket
+    each key's right timestamps are sorted once and every left row's
+    window is located with two vectorized ``searchsorted`` calls — no
+    per-pair Python work before the final gather.
+
+    Partitioning assumption: as ``asof_join``. Additionally the OUTPUT
+    is data-dependent (a hot key with a dense window emits
+    |L_w|×|R_w| rows); if a key's window density is unbounded,
+    sub-partition by coarse time range so each task's emit stays
+    bounded, or cap the window span upstream.
+    """
+    import numpy as np
+
+    out_names = list(payload.values())
+    left_names = list(left_schema.names)
+    # numpy rejects datetime64 + datetime.timedelta; normalize once
+    lower_np = np.timedelta64(lower_offset)
+    upper_np = np.timedelta64(upper_offset)
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        cols = {
+            _BUCKET: pa.array(
+                [_bucket_of(v, num_buckets) for v in batch[by].to_pylist()],
+                pa.int32(),
+            ),
+            _SIDE: pa.array([0] * batch.num_rows, pa.int8()),
+        }
+        for name in left_names:
+            cols[name] = batch[name]
+        for name in out_names:
+            cols[name] = pa.nulls(batch.num_rows, payload_types[name])
+        return pa.table(cols)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[by].to_pylist()
+        cols = {
+            _BUCKET: pa.array(
+                [_bucket_of(v, num_buckets) for v in keys], pa.int32()
+            ),
+            _SIDE: pa.array([1] * n, pa.int8()),
+        }
+        for name in left_names:
+            if name == by:
+                cols[name] = pa.array(keys, left_schema.field(by).type)
+            elif name == ts:
+                cols[name] = batch[ts].cast(left_schema.field(ts).type)
+            else:
+                cols[name] = pa.nulls(n, left_schema.field(name).type)
+        for rcol, name in payload.items():
+            cols[name] = batch[rcol].cast(payload_types[name])
+        return pa.table(cols)
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                **{n: pa.array([], left_schema.field(n).type)
+                   for n in left_names},
+                **{n: pa.array([], payload_types[n]) for n in out_names},
+            }
+        )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
+        rt = (
+            g.filter(pc.equal(g[_SIDE], 1))
+            .select([by, ts] + out_names)
+            .to_pandas()
+        )
+        if len(lt) == 0 or len(rt) == 0:
+            return _empty()
+        left_parts, right_parts = [], []
+        for key, rgrp in rt.groupby(by, sort=False):
+            lgrp = lt[lt[by] == key]
+            if len(lgrp) == 0:
+                continue
+            rgrp = rgrp.sort_values(ts, kind="mergesort")
+            rts = rgrp[ts].to_numpy()
+            lts = lgrp[ts].to_numpy()
+            lo = np.searchsorted(rts, lts + lower_np, side="left")
+            hi = np.searchsorted(rts, lts + upper_np, side="right")
+            counts = hi - lo
+            keep = counts > 0
+            if not keep.any():
+                continue
+            left_idx = np.repeat(np.flatnonzero(keep), counts[keep])
+            right_idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo[keep], hi[keep])]
+            )
+            left_parts.append(lgrp.iloc[left_idx])
+            right_parts.append(rgrp.iloc[right_idx])
+        if not left_parts:
+            return _empty()
+        import pandas as pd
+
+        lout = pd.concat(left_parts, ignore_index=True)
+        rout = pd.concat(right_parts, ignore_index=True)
+        arrays = {}
+        for name in left_names:
+            arrays[name] = pa.array(
+                lout[name].tolist(), type=left_schema.field(name).type
+            )
+        for name in out_names:
+            arrays[name] = pa.array(
+                rout[name].tolist(), type=payload_types[name]
+            )
+        return pa.table(arrays)
+
+    combined = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+    return combined.groupby(_BUCKET).map_groups(
+        join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
+    )
