@@ -115,11 +115,39 @@ def _merge_bucket(g, keys: list[str]):
     """Vectorized within-bucket merge (pandas group aggregation): the
     per-KEY map_groups variant paid Arrow-table-construction overhead
     once per key — 29 s of UDF time for 74.5k keys at the 20k-page
-    bench (ds.stats() audit) vs ~1 s for this bucketed form."""
+    bench (ds.stats() audit) vs ~1 s for this bucketed form.
+
+    Fast path: a key that occurs in exactly ONE partial row (the vast
+    majority — a key only repeats when it was seen in more than one
+    upstream batch) needs no merging at all; one vectorized
+    ``duplicated`` mask passes those rows through and the per-key
+    Python aggregation (min-non-null lambdas, sentence-id set union)
+    runs only on the multi-row remainder. The 200k-page ds.stats()
+    audit measured 412 s total UDF in this stage without the split —
+    ~3.5M Python lambda calls for keys that needed none."""
     import pandas as pd
 
     present = [c for c in _PAYLOAD if c in g.columns]
-    grouped = g.groupby(keys, sort=True)
+    cols = keys + [c for c in ("score",) if c in present] + [
+        c for c in ("subj_id", "obj_id", "url", "sentence_ids")
+        if c in present
+    ] + ["n_mentions"]
+
+    dup_mask = g.duplicated(keys, keep=False)
+    singles = g[~dup_mask]
+    multi = g[dup_mask]
+    if "sentence_ids" in present and len(singles):
+        # Arrow→pandas turns list cells into numpy arrays; left as-is,
+        # Ray re-encodes the output block as a ragged TENSOR column
+        # (and rejects empty ones) instead of list<int64> — normalize
+        # to plain lists like the agg path produces
+        singles = singles.assign(
+            sentence_ids=[list(x) for x in singles["sentence_ids"]]
+        )
+    if len(multi) == 0:
+        return singles.sort_values(keys, kind="mergesort")[cols]
+
+    grouped = multi.groupby(keys, sort=False)
     parts = {}
     if "score" in present:
         parts["score"] = grouped["score"].max()
@@ -137,12 +165,9 @@ def _merge_bucket(g, keys: list[str]):
                 :SENTENCE_IDS_CAP
             ]
         )
-    out = pd.DataFrame(parts).reset_index()
-    cols = keys + [c for c in ("score",) if c in present] + [
-        c for c in ("subj_id", "obj_id", "url", "sentence_ids")
-        if c in present
-    ] + ["n_mentions"]
-    return out[cols]
+    merged = pd.DataFrame(parts).reset_index()
+    out = pd.concat([singles[cols], merged[cols]], ignore_index=True)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
 def salted_dedup(
