@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "simhash_documents",
     "knn_cosine",
     "token_counts",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 
