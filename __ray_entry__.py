@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": R.user_sessions,
         "events_asof_join": R.events_asof_join,
         "events_range_join": R.events_range_join,
+        "events_user_cumsum": R.events_user_cumsum,
+        "segment_order_stats_bucket_join": R.segment_order_stats_bucket_join,
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
         "sentencize_documents": T.sentencize_documents,
@@ -299,6 +301,22 @@ def oracle_sql() -> dict[str, str]:
                    r.value    AS match_value
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_user_cumsum": """
+            SELECT event_id, user_id, ts,
+                   sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) / 100.0 AS running_value
+            FROM events
+        """,
+        "segment_order_stats_bucket_join": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                       / 100.0 AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "events_range_join": """
             SELECT l.event_id, l.user_id, l.ts,

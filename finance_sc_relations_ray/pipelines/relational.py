@@ -597,3 +597,101 @@ def events_range_join(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
     return out.sort_values(
         ["event_id", "match_event_id"]
     ).reset_index(drop=True)
+
+
+# -------------------------------------------- running-total window -----
+def events_user_cumsum(sf_dir: str) -> pd.DataFrame:
+    """Per-user running total of ``value`` ordered by ``ts`` — the
+    ordered-window-function analog (SQL ``sum() OVER (PARTITION BY
+    user ORDER BY ts)``). Distributed form: coarse user buckets via one
+    exchange, then a fully vectorized pandas sort + per-user cumsum
+    inside each group (no per-row Python). Values are exact 2-decimal
+    inputs accumulated in int64 1e-2 units so the running sums compare
+    bit-exact against DuckDB's window sum."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [int(u) % 32 for u in batch["user_id"].to_pylist()]
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v2 = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        run = (
+            pd.Series(v2, index=g.index)
+            .groupby(g["user_id"], sort=False)
+            .cumsum()
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "running_value": (run.to_numpy() / 100.0),
+            }
+        )
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cumsum, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+        .to_pandas()
+        .drop(columns=["bucket"], errors="ignore")
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# --------------------------------- bucket-join relational rollup --------
+def segment_order_stats_bucket_join(sf_dir: str) -> pd.DataFrame:
+    """``segment_order_stats`` computed through the generic
+    co-partitioned bucket join (stages/joins.bucket_lookup_join)
+    instead of the broadcast lookup — the large×large join path for
+    when neither side fits an actor heap. Identical oracle as a plain
+    SQL join proves the shuffle join exact on relational data."""
+    from ..stages.joins import bucket_lookup_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = bucket_lookup_join(
+        orders,
+        cust,
+        on="o_custkey",
+        right_key="c_custkey",
+        payload={"c_mktsegment": "c_mktsegment"},
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        payload_types={"c_mktsegment": pa.string()},
+        num_buckets=32,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p2 = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"c_mktsegment": batch["c_mktsegment"].to_pylist(), "p2": p2}
+        )
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("p2", "size"), sum2=("p2", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum2", alias_name="sum2"),
+        )
+        .to_pandas()
+    )
+    out["total_price"] = out["sum2"] / 100.0
+    out = out.drop(columns=["sum2"])
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
