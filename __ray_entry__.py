@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_documents": T.clean_documents,
         "sentencize_documents": T.sentencize_documents,
         "token_counts": T.token_counts,
+        "subword_token_counts": T.subword_token_counts,
         "doc_quality": T.doc_quality,
         "lang_id_documents": T.lang_id_documents,
         "fingerprint_documents": T.fingerprint_documents,
@@ -357,6 +358,13 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents
+        """,
+        "subword_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'
+                   )) AS n_subwords
             FROM documents
         """,
         "doc_quality": r"""

@@ -43,6 +43,22 @@ def token_count(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
+# GPT2-shaped pre-tokenizer alternation, restricted to RE2-compatible
+# constructs (no lookarounds, no \p classes) so DuckDB's
+# regexp_extract_all counts the SAME matches: contractions first, then
+# space-prefixed letter / digit / symbol runs. Both Python re and RE2
+# use leftmost-first alternation, so the match sets agree.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def subword_token_count(text: str) -> int:
+    """BPE-ish subword-unit count (the pre-tokenizer split a byte-pair
+    vocabulary would consume) — the model-facing length signal next to
+    the whitespace ``token_count``."""
+    return len(_BPE_RE.findall(text))
+
+
 def quality_metrics(text: str) -> dict[str, float]:
     """Simple quality signals: char/token counts, mean token length,
     punctuation ratio."""

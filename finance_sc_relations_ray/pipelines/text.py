@@ -87,6 +87,24 @@ def token_counts(sf_dir: str) -> "ray.data.Dataset":
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def subword_token_counts(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish subword-unit counts (textops.BPE_PATTERN, the
+    pre-tokenizer split a byte-pair vocab consumes) — vectorized with
+    the Arrow RE2 kernel; DuckDB's regexp_extract_all (also RE2) counts
+    the identical matches, so the oracle is exact."""
+    import pyarrow.compute as pc
+
+    from ..functions.textops import BPE_PATTERN
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], BPE_PATTERN)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_subwords": n.cast(pa.int64())}
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------- quality scoring ---
 def doc_quality(sf_dir: str) -> "ray.data.Dataset":
     """Quality signals, fully vectorized: mean token length =
