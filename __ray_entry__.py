@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items_revenue": R.returned_items_revenue,
         "events_hourly": R.events_hourly,
         "distinct_user_count": R.distinct_user_count,
+        "approx_distinct_users": R.approx_distinct_users,  # HLL sketch (approximate, non-SQL)
         "events_sliding": R.events_sliding,
         "top_users_per_event_type": R.top_users_per_event_type,
         "user_sessions": R.user_sessions,

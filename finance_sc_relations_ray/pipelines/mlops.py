@@ -41,21 +41,51 @@ def segment_class_weights(sf_dir: str) -> pd.DataFrame:
 
 def token_length_quantiles(sf_dir: str) -> pd.DataFrame:
     """0.95 / 0.99 token-length quantiles — the reference's max_len
-    sizing statistic (sc_classifier/trainer.py:212). Distributed
-    pattern: token counts via map_batches, quantile over the (small)
-    counts vector. Linear interpolation matches DuckDB quantile_cont."""
+    sizing statistic (sc_classifier/trainer.py:212).
 
-    def f(batch: pa.Table) -> pa.Table:
-        n = [token_count(t) for t in batch["text"].to_pylist()]
-        return pa.table({"n_tokens": pa.array(n, pa.int64())})
+    Distributed EXACT form: token lengths are small integers, so each
+    batch combines to a (n_tokens → count) histogram, a bounded
+    groupby merges the partials, and the linear-interpolated quantile
+    (identical to numpy 'linear' / DuckDB quantile_cont) is computed
+    from cumulative counts on the driver — the only thing ever
+    materialized is the histogram (≤ distinct lengths rows), never the
+    per-document vector (which at 10^12 docs IS the dataset)."""
 
-    counts = (
+    def hist(batch: pa.Table) -> pa.Table:
+        vals: dict[int, int] = {}
+        for t in batch["text"].to_pylist():
+            n = token_count(t)
+            vals[n] = vals.get(n, 0) + 1
+        return pa.table(
+            {
+                "n_tokens": pa.array(list(vals.keys()), pa.int64()),
+                "c": pa.array(list(vals.values()), pa.int64()),
+            }
+        )
+
+    h = (
         _read(sf_dir, "documents", ["text"])
-        .map_batches(f, batch_format="pyarrow")
-        .to_pandas()["n_tokens"]
-        .to_numpy()
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("n_tokens")
+        .reset_index(drop=True)
     )
-    q95, q99 = np.percentile(counts, [95, 99], method="linear")
+    values = h["n_tokens"].to_numpy()
+    counts = h["c"].to_numpy()
+    cum = np.cumsum(counts)
+    n_total = int(cum[-1])
+
+    def interp_quantile(q: float) -> float:
+        # numpy 'linear': value at fractional order-statistic q*(N-1)
+        pos = q * (n_total - 1)
+        lo_idx, frac = int(np.floor(pos)), pos - np.floor(pos)
+        lo = values[np.searchsorted(cum, lo_idx + 1)]
+        hi = values[np.searchsorted(cum, min(lo_idx + 1, n_total - 1) + 1)]
+        return float(lo) + frac * (float(hi) - float(lo))
+
+    q95, q99 = interp_quantile(0.95), interp_quantile(0.99)
     return pd.DataFrame(
         {"quantile": [0.95, 0.99],
          "n_tokens": round_half_away(np.array([q95, q99]), 6)}

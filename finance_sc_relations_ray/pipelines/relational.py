@@ -695,3 +695,28 @@ def segment_order_stats_bucket_join(sf_dir: str) -> pd.DataFrame:
     out["total_price"] = out["sum2"] / 100.0
     out = out.drop(columns=["sum2"])
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# ------------------------------------- approximate distinct (sketch) ---
+def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """HyperLogLog approximate distinct users
+    (functions/sketch.HyperLogLog): each batch combines to ONE 2^p-byte
+    sketch row; the driver merges the per-batch sketches by register
+    max (bounded: one 4 KiB row per batch enters the reduce, never the
+    values). The exact ``distinct_user_count`` is the verifier — the
+    pytest oracle asserts the estimate within the sketch's standard
+    error. Rows-only at the driver gate (approximate ≠ SQL)."""
+    from ..functions.sketch import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        for u in batch["user_id"].to_pylist():
+            h.add(u)
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        merged = merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
+    return pd.DataFrame({"n_users_approx": [int(round(merged.estimate()))]})

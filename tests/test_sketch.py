@@ -50,3 +50,42 @@ def test_sketch_superset_of_exact_heavy_hitters():
         merged = merged.merge(s)
     cand = set(merged.candidates(min_fraction=0.005))
     assert exact <= cand, sorted(exact - cand)
+
+
+# ------------------------------------------------------ HyperLogLog ----
+def test_hll_accuracy_and_determinism():
+    from finance_sc_relations_ray.functions.sketch import HyperLogLog
+
+    for true_n in (50, 1000, 20_000):
+        h = HyperLogLog(p=12)
+        for i in range(true_n):
+            h.add(f"user-{i}")
+        est = h.estimate()
+        # standard error 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma
+        assert abs(est - true_n) / true_n < 0.065, (true_n, est)
+        h2 = HyperLogLog(p=12)
+        for i in range(true_n):
+            h2.add(f"user-{i}")
+        assert h2.to_bytes() == h.to_bytes()  # deterministic
+
+
+def test_hll_merge_equals_union():
+    from finance_sc_relations_ray.functions.sketch import HyperLogLog
+
+    a, b, u = HyperLogLog(8), HyperLogLog(8), HyperLogLog(8)
+    for i in range(500):
+        a.add(i)
+        u.add(i)
+    for i in range(300, 900):  # overlapping range
+        b.add(i)
+        u.add(i)
+    assert a.merge(b).to_bytes() == u.to_bytes()
+
+
+def test_hll_query_matches_exact_within_error(tmp_path):
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    approx = entry.queries()["approx_distinct_users"](sf)["n_users_approx"][0]
+    exact = entry.queries()["distinct_user_count"](sf)["n_users"][0]
+    assert abs(approx - exact) / exact < 0.065, (approx, exact)
