@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_quantiles": M.token_length_quantiles,
         "stratified_split_documents": M.stratified_split_documents,  # seeded, non-SQL
         "hash_split_documents": M.hash_split_documents,
+        "sample_documents_consistent": M.sample_documents_consistent,
         "embedding_dup_pairs": M.embedding_dup_pairs,
         # similarity search over embeddings
         "knn_cosine": S.knn_cosine,
@@ -473,6 +474,11 @@ def oracle_sql() -> dict[str, str]:
                         ))::UBIGINT < 0.2 * 4294967296
                         THEN 'valid' ELSE 'train' END AS split
             FROM documents
+        """,
+        "sample_documents_consistent": """
+            SELECT doc_id FROM documents
+            ORDER BY md5('sample-42|' || doc_id::VARCHAR)
+            LIMIT 100
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

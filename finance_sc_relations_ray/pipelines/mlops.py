@@ -183,3 +183,38 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
              "cosine": pd.Series([], dtype="float64")}
         )
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+def sample_documents_consistent(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic uniform k-sample: keep the k documents with the
+    SMALLEST md5(seed|doc_id) — a consistent ("bottom-k") sample. Fully
+    distributed and mergeable: each batch emits only its local k
+    smallest hashes, the driver reduce sees ≤ k × n_batches rows, and
+    the result is independent of partitioning, batch order and
+    parallelism (unlike reservoir sampling, whose state depends on
+    arrival order). Also composable: the union of two tables' bottom-k
+    samples contains the union's bottom-k. Oracle: ORDER BY md5 LIMIT k
+    — exact."""
+    import hashlib
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = [
+            hashlib.md5(f"sample-42|{d}".encode("utf-8")).hexdigest()
+            for d in ids
+        ]
+        order = sorted(range(len(ids)), key=lambda i: hs[i])[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+                "h": pa.array([hs[i] for i in order], pa.string()),
+            }
+        )
+
+    cand = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = cand.sort_values("h").head(k)[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
