@@ -475,16 +475,31 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         return batch.append_column("bucket", pa.array(b, pa.int32()))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for user_id, grp in g.groupby("user_id"):
-            ts = grp["ts"].sort_values().reset_index(drop=True)
-            new = (ts.diff() > pd.Timedelta(minutes=gap_minutes)).cumsum()
-            sizes = new.value_counts()
-            rows.append(
-                (int(user_id), int(new.nunique()), int(sizes.max()), len(ts))
+        # whole-bucket vectorized: one sort, one diff, one cumsum over
+        # ALL users in the bucket (no per-user Python loop) — a session
+        # break is a user change OR a gap > threshold
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_sess = g["user_id"].ne(g["user_id"].shift()) | (
+            g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        )
+        sess_id = new_sess.cumsum()
+        per_sess = pd.DataFrame(
+            {
+                "user_id": g.groupby(sess_id, sort=False)["user_id"].first(),
+                "size": g.groupby(sess_id, sort=False).size(),
+            }
+        )
+        out = (
+            per_sess.groupby("user_id", as_index=False)
+            .agg(
+                n_sessions=("size", "size"),
+                max_session_events=("size", "max"),
+                n_events=("size", "sum"),
             )
-        return pd.DataFrame(
-            rows, columns=["user_id", "n_sessions", "max_session_events", "n_events"]
+        )
+        return out.astype(
+            {"n_sessions": "int64", "max_session_events": "int64",
+             "n_events": "int64"}
         )
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
