@@ -144,3 +144,34 @@ def test_ngram_jaccard_stable_across_runs_sf01():
     for run in range(3):
         got = ngram_jaccard_pairs(sf)
         assert len(got) == expected, (run, len(got), expected)
+
+
+def test_minhash_degenerate_bucket_star_cap(tmp_path):
+    """When one LSH bucket holds more docs than max_bucket_docs (here:
+    31 identical docs sharing every band), the candidate generator must
+    emit STAR pairs to the min id instead of all-pairs — bounded O(n)
+    per degenerate bucket, with connectivity (and the exact verify
+    gate) preserved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from finance_sc_relations_ray.pipelines.text import minhash_dup_pairs
+
+    same = "exactly the same duplicated filler document body here " * 4
+    texts = [same] * 31 + [
+        "a completely different unrelated document about volcanoes",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"), row_group_size=8)
+
+    out = minhash_dup_pairs(str(tmp_path), max_bucket_docs=10)
+    # star: every pair anchors at doc 0; all-pairs would be C(31,2)=465
+    assert len(out) == 30
+    assert (out["doc_id_a"] == 0).all()
+    assert sorted(out["doc_id_b"]) == list(range(1, 31))
+    assert (out["jaccard"] == 1.0).all()  # exact verify still ran
