@@ -432,3 +432,268 @@ def range_join(
     return combined.groupby(_BUCKET).map_groups(
         join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
     )
+
+
+def asof_join_time_partitioned(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    ts: str,
+    payload: dict[str, str],
+    left_schema: pa.Schema,
+    payload_types: dict[str, pa.DataType],
+    epoch,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """``asof_join`` for time-series where a single key's history
+    outgrows one task: rows are sub-partitioned into ``(key-bucket,
+    epoch)`` groups of bounded time span (``epoch`` a timedelta), so
+    per-task memory is bounded by epoch width × arrival rate instead of
+    a key's full history.
+
+    Correctness across epoch boundaries (a left row whose latest match
+    lies in an EARLIER epoch) is restored by a carry stage: a small
+    per-(key, epoch) aggregate keeps each epoch's LAST right row, a
+    per-key prefix scan (grouped by key-bucket — one row per (key,
+    epoch), tiny) turns it into "latest right row strictly before epoch
+    e", and that one carry row is injected into epoch e's group.
+    Three bounded exchanges total; no group ever holds more than one
+    epoch of one bucket plus one carry row per key.
+
+    Same tie-break and inner semantics as ``asof_join`` (equivalence-
+    tested against it on random data, tests/test_asof_join.py).
+    """
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    out_names = list(payload.values())
+    left_names = list(left_schema.names)
+    tiebreak = out_names[0]
+    epoch_us = int(epoch / datetime.timedelta(microseconds=1))
+
+    def _epoch_of(ts_arr: "pa.Array") -> list[int]:
+        us = ts_arr.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        return [v // epoch_us for v in us]
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_pylist()
+        ep = _epoch_of(batch[ts])
+        cols = {
+            _BUCKET: pa.array(
+                [
+                    _bucket_of(k, num_buckets) * 1_000_003 + e
+                    for k, e in zip(keys, ep)
+                ],
+                pa.int64(),
+            ),
+            _SIDE: pa.array([0] * batch.num_rows, pa.int8()),
+        }
+        for name in left_names:
+            cols[name] = batch[name]
+        for name in out_names:
+            cols[name] = pa.nulls(batch.num_rows, payload_types[name])
+        return pa.table(cols)
+
+    def prep_right(batch: pa.Table, shift: int = 0) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[by].to_pylist()
+        ep = [e + shift for e in _epoch_of(batch[ts])]
+        cols = {
+            _BUCKET: pa.array(
+                [
+                    _bucket_of(k, num_buckets) * 1_000_003 + e
+                    for k, e in zip(keys, ep)
+                ],
+                pa.int64(),
+            ),
+            _SIDE: pa.array([1] * n, pa.int8()),
+        }
+        for name in left_names:
+            if name == by:
+                cols[name] = pa.array(keys, left_schema.field(by).type)
+            elif name == ts:
+                cols[name] = batch[ts].cast(left_schema.field(ts).type)
+            else:
+                cols[name] = pa.nulls(n, left_schema.field(name).type)
+        for rcol, name in payload.items():
+            cols[name] = batch[rcol].cast(payload_types[name])
+        return pa.table(cols)
+
+    # ---- carry stage: latest right row strictly BEFORE each epoch ----
+    # 1) per (key, epoch): last right row (tie-break aware) — a small
+    #    per-batch combiner + one bounded groupby
+    raw_tiebreak = list(payload.keys())[0]
+
+    def last_per_epoch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["__e"] = [v // epoch_us for v in
+                     df[ts].astype("int64").to_numpy()]
+        df = df.sort_values([ts, raw_tiebreak], kind="mergesort")
+        lastr = df.groupby([by, "__e"], as_index=False).last()
+        return pa.Table.from_pandas(lastr, preserve_index=False)
+
+    def merge_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, raw_tiebreak], kind="mergesort")
+        return g.groupby([by, "__e"], as_index=False).last()
+
+    def add_kbucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__kb",
+            pa.array(
+                [_bucket_of(k, num_buckets) for k in batch[by].to_pylist()],
+                pa.int32(),
+            ),
+        )
+
+    right_cols = [by, ts] + list(payload.keys())
+    lasts = (
+        right.select_columns(right_cols)
+        .map_batches(last_per_epoch, batch_format="pyarrow")
+        .map_batches(add_kbucket, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(
+            lambda g: merge_last(g.drop(columns="__kb")),
+            batch_format="pandas",
+            num_cpus=NO_FUSE_NUM_CPUS,
+        )
+    )
+
+    # 2) distinct LEFT (key, epoch) pairs — the epochs that NEED a
+    #    carry (a left row's match may live in ANY earlier epoch,
+    #    including when its own epoch has no right rows at all)
+    def left_epochs(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_pylist()
+        ep = _epoch_of(batch[ts])
+        pairs = sorted(set(zip(keys, ep)))
+        return pa.table(
+            {
+                by: pa.array([p[0] for p in pairs],
+                             left_schema.field(by).type),
+                "__e": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+
+    left_marks = left.map_batches(left_epochs, batch_format="pyarrow")
+
+    # 3) per key (grouped by key-bucket): for every left-active epoch e
+    #    emit the latest right epoch-last with epoch < e — one binary
+    #    search per (key, left-epoch), one carry row out
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        marks = g[g["__mark"] == 1]
+        lastr = g[g["__mark"] == 0]
+        outs = []
+        last_by_key = {k: kg.sort_values("__e", kind="mergesort")
+                       for k, kg in lastr.groupby(by, sort=False)}
+        for k, mk in marks.groupby(by, sort=False):
+            kg = last_by_key.get(k)
+            if kg is None:
+                continue
+            eps = kg["__e"].to_numpy()
+            for e in sorted(set(mk["__e"])):
+                i = int(np.searchsorted(eps, e, side="left")) - 1
+                if i >= 0:
+                    row = kg.iloc[i].copy()
+                    row["__e"] = e
+                    outs.append(row)
+        if not outs:
+            return lastr.iloc[0:0].drop(columns="__mark")
+        return pd.DataFrame(outs).drop(columns="__mark")
+
+    def mark(batch: pa.Table, m: int) -> pa.Table:
+        return batch.append_column(
+            "__mark", pa.array([m] * batch.num_rows, pa.int8())
+        )
+
+    carry_input = lasts.map_batches(
+        lambda b: mark(b, 0), batch_format="pyarrow"
+    ).union(
+        left_marks.map_batches(lambda b: mark(b, 1), batch_format="pyarrow")
+    )
+    carry_ds = carry_input.map_batches(
+        add_kbucket, batch_format="pyarrow"
+    ).groupby("__kb").map_groups(
+        lambda g: carries(g.drop(columns="__kb")),
+        batch_format="pandas",
+        num_cpus=NO_FUSE_NUM_CPUS,
+    )
+
+    def prep_carry(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch[by].to_pylist()
+        ep = batch["__e"].to_pylist()
+        cols = {
+            _BUCKET: pa.array(
+                [
+                    _bucket_of(k, num_buckets) * 1_000_003 + e
+                    for k, e in zip(keys, ep)
+                ],
+                pa.int64(),
+            ),
+            _SIDE: pa.array([1] * n, pa.int8()),
+        }
+        for name in left_names:
+            if name == by:
+                cols[name] = pa.array(keys, left_schema.field(by).type)
+            elif name == ts:
+                cols[name] = batch[ts].cast(left_schema.field(ts).type)
+            else:
+                cols[name] = pa.nulls(n, left_schema.field(name).type)
+        for rcol, name in payload.items():
+            cols[name] = batch[rcol].cast(payload_types[name])
+        return pa.table(cols)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
+        rt = (
+            g.filter(pc.equal(g[_SIDE], 1))
+            .select([by, ts] + out_names)
+            .to_pandas()
+        )
+        if len(lt) == 0 or len(rt) == 0:
+            return pa.table(
+                {
+                    **{n: pa.array([], left_schema.field(n).type)
+                       for n in left_names},
+                    **{n: pa.array([], payload_types[n]) for n in out_names},
+                }
+            )
+        rt = (
+            rt.sort_values([ts, tiebreak], kind="mergesort")
+            .drop_duplicates([by, ts], keep="last")
+            .sort_values(ts, kind="mergesort")
+        )
+        joined = pd.merge_asof(
+            lt.sort_values(ts, kind="mergesort"),
+            rt,
+            on=ts,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        ).dropna(subset=[tiebreak])
+        arrays = {}
+        for name in left_names:
+            arrays[name] = pa.array(
+                joined[name].tolist(), type=left_schema.field(name).type
+            )
+        for name in out_names:
+            t = payload_types[name]
+            col = joined[name]
+            if pa.types.is_integer(t):
+                col = col.astype("int64")
+            arrays[name] = pa.array(col.tolist(), type=t)
+        return pa.table(arrays)
+
+    combined = (
+        left.map_batches(prep_left, batch_format="pyarrow")
+        .union(right.map_batches(prep_right, batch_format="pyarrow"))
+        .union(carry_ds.map_batches(prep_carry, batch_format="pyarrow"))
+    )
+    return combined.groupby(_BUCKET).map_groups(
+        join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
+    )

@@ -144,3 +144,67 @@ def test_asof_unmatched_left_dropped_and_other_users_ignored():
     ]
     # output dtypes stay int64 even when every row dropped
     assert str(got["match_event_id"].dtype) == "int64"
+
+
+def test_time_partitioned_asof_equals_plain():
+    """asof_join_time_partitioned (epoch sub-partitioning + carry rows)
+    must produce EXACTLY the plain asof_join result, including matches
+    that reach across epoch boundaries and keys silent for many
+    epochs."""
+    import random
+
+    from finance_sc_relations_ray.stages.joins import (
+        asof_join_time_partitioned,
+    )
+
+    rng = random.Random(23)
+    # spread over ~33 epochs of 15 min; some keys sparse so carries
+    # must jump multiple silent epochs
+    left = [
+        {"event_id": i, "user_id": rng.randrange(4), "ts": _ts(rng.randrange(500))}
+        for i in range(150)
+    ]
+    right = [
+        {
+            "event_id": 1000 + i,
+            "user_id": rng.randrange(4),
+            "ts": _ts(rng.randrange(500)),
+            "value": float(i),
+        }
+        for i in range(60)
+    ]
+    exp = _run(left, right)
+
+    left_ds = ray.data.from_arrow(
+        pa.Table.from_pylist(left, schema=LEFT_SCHEMA)
+    )
+    right_ds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            right,
+            schema=pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("value", pa.float64()),
+                ]
+            ),
+        )
+    )
+    got = (
+        asof_join_time_partitioned(
+            left_ds,
+            right_ds,
+            by="user_id",
+            ts="ts",
+            payload={"event_id": "match_event_id", "value": "match_value"},
+            left_schema=LEFT_SCHEMA,
+            payload_types=PAYLOAD_TYPES,
+            epoch=datetime.timedelta(minutes=15),
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
