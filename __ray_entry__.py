@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_event_type": R.top_users_per_event_type,
         "user_sessions": R.user_sessions,
         "events_asof_join": R.events_asof_join,
+        "events_asof_join_epoch": R.events_asof_join_epoch,
         "events_range_join": R.events_range_join,
         "events_user_cumsum": R.events_user_cumsum,
         "segment_order_stats_bucket_join": R.segment_order_stats_bucket_join,
@@ -287,6 +288,25 @@ def oracle_sql() -> dict[str, str]:
             FROM counts GROUP BY user_id
         """,
         "events_asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), r AS (
+                -- deterministic tie-break among equal (user, ts) views:
+                -- greatest event_id wins (matches stages/joins.asof_join)
+                SELECT user_id, ts,
+                       max(event_id)            AS event_id,
+                       arg_max(value, event_id) AS value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS match_event_id,
+                   r.value    AS match_value
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_asof_join_epoch": """
             WITH l AS (
                 SELECT event_id, user_id, ts FROM events
                 WHERE event_type = 'click'

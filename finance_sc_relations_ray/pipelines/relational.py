@@ -735,3 +735,52 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
         merged = merged.merge(HyperLogLog.from_bytes(row["sketch"], p))
     return pd.DataFrame({"n_users_approx": [int(round(merged.estimate()))]})
+
+
+def events_asof_join_epoch(sf_dir: str) -> pd.DataFrame:
+    """``events_asof_join`` computed through the time-partitioned plan
+    (stages/joins.asof_join_time_partitioned, 6-hour epochs): per-task
+    memory bounded by epoch width instead of a user's full history.
+    Same DuckDB ASOF JOIN oracle — the epoch plan must be exactly
+    equivalent."""
+    import datetime
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = left.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    right = right.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ..stages.joins import asof_join_time_partitioned
+
+    out = asof_join_time_partitioned(
+        left,
+        right,
+        by="user_id",
+        ts="ts",
+        payload={"event_id": "match_event_id", "value": "match_value"},
+        left_schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+            ]
+        ),
+        payload_types={
+            "match_event_id": pa.int64(),
+            "match_value": pa.float64(),
+        },
+        epoch=datetime.timedelta(hours=6),
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
