@@ -44,19 +44,14 @@ def token_count(text: str) -> int:
 
 
 # GPT2-shaped pre-tokenizer alternation, restricted to RE2-compatible
-# constructs (no lookarounds, no \p classes) so DuckDB's
-# regexp_extract_all counts the SAME matches: contractions first, then
-# space-prefixed letter / digit / symbol runs. Both Python re and RE2
-# use leftmost-first alternation, so the match sets agree.
+# constructs (no lookarounds, no \p classes): contractions first, then
+# space-prefixed letter / digit / symbol runs. Counted ONLY through RE2
+# engines (the Arrow `count_substring_regex` kernel in
+# pipelines/text.subword_token_counts and DuckDB's regexp_extract_all,
+# which agree exactly). Do NOT count it with Python `re`: Python's \s
+# inside the negated class is unicode-aware while RE2's is ASCII-only,
+# so e.g. U+00A0 tokenizes differently.
 BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
-_BPE_RE = re.compile(BPE_PATTERN)
-
-
-def subword_token_count(text: str) -> int:
-    """BPE-ish subword-unit count (the pre-tokenizer split a byte-pair
-    vocabulary would consume) — the model-facing length signal next to
-    the whitespace ``token_count``."""
-    return len(_BPE_RE.findall(text))
 
 
 def quality_metrics(text: str) -> dict[str, float]:

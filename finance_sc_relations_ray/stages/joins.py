@@ -170,6 +170,120 @@ def bucket_lookup_join(
     )
 
 
+def _empty_joined(left_schema: pa.Schema, out_names, payload_types) -> pa.Table:
+    return pa.table(
+        {
+            **{n: pa.array([], left_schema.field(n).type)
+               for n in left_schema.names},
+            **{n: pa.array([], payload_types[n]) for n in out_names},
+        }
+    )
+
+
+def _prep_side(
+    batch: pa.Table,
+    side: int,
+    bucket_vals: pa.Array,
+    by: str,
+    ts: str,
+    left_schema: pa.Schema,
+    payload: dict[str, str],
+    payload_types: dict[str, "pa.DataType"],
+) -> pa.Table:
+    """Shared left/right prep for the temporal joins: EVERY column is
+    explicitly cast to its declared type on BOTH sides (a left parquet
+    whose physical ts is ns while the caller declares us would
+    otherwise union blocks with conflicting schemas), and missing-side
+    columns are typed nulls — so every unioned block carries the
+    identical Arrow schema."""
+    n = batch.num_rows
+    cols = {
+        _BUCKET: bucket_vals,
+        _SIDE: pa.array([side] * n, pa.int8()),
+    }
+    if side == 0:
+        for name in left_schema.names:
+            cols[name] = batch[name].cast(left_schema.field(name).type)
+        for name in payload.values():
+            cols[name] = pa.nulls(n, payload_types[name])
+    else:
+        for name in left_schema.names:
+            if name == by:
+                cols[name] = batch[by].cast(left_schema.field(by).type)
+            elif name == ts:
+                cols[name] = batch[ts].cast(left_schema.field(ts).type)
+            else:
+                cols[name] = pa.nulls(n, left_schema.field(name).type)
+        for rcol, name in payload.items():
+            cols[name] = batch[rcol].cast(payload_types[name])
+    return pa.table(cols)
+
+
+def _key_buckets(batch: pa.Table, by: str, num_buckets: int) -> pa.Array:
+    return pa.array(
+        [_bucket_of(v, num_buckets) for v in batch[by].to_pylist()],
+        pa.int32(),
+    )
+
+
+def _asof_merge_group(
+    g: pa.Table,
+    by: str,
+    ts: str,
+    left_schema: pa.Schema,
+    out_names: list,
+    payload_types: dict,
+    tiebreak: str,
+) -> pa.Table:
+    """Per-bucket backward-as-of merge. The merge_asof runs on a
+    POSITIONAL index column (``__ridx``), never on the payload: pandas
+    upcasts any int column with unmatched (NaN) slots to float64, which
+    silently corrupts 64-bit ids above 2^53 — ``__ridx`` is bounded by
+    the group size, so its float round-trip is always exact, and the
+    payload is gathered from the untouched right frame afterwards."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    left_names = list(left_schema.names)
+    lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
+    rt = (
+        g.filter(pc.equal(g[_SIDE], 1))
+        .select([by, ts] + out_names)
+        .to_pandas()
+    )
+    if len(lt) == 0 or len(rt) == 0:
+        return _empty_joined(left_schema, out_names, payload_types)
+    # deterministic tie-break among equal (by, ts) right rows
+    rt = (
+        rt.sort_values([ts, tiebreak], kind="mergesort")
+        .drop_duplicates([by, ts], keep="last")
+        .sort_values(ts, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    rt["__ridx"] = np.arange(len(rt), dtype=np.int64)
+    joined = pd.merge_asof(
+        lt.sort_values(ts, kind="mergesort"),
+        rt[[by, ts, "__ridx"]],
+        on=ts,
+        by=by,
+        direction="backward",
+        allow_exact_matches=True,
+    ).dropna(subset=["__ridx"])
+    ridx = joined["__ridx"].astype("int64").to_numpy()
+    matched = rt.iloc[ridx]
+    arrays = {}
+    for name in left_names:
+        arrays[name] = pa.array(
+            joined[name].tolist(), type=left_schema.field(name).type
+        )
+    for name in out_names:
+        arrays[name] = pa.array(
+            matched[name].tolist(), type=payload_types[name]
+        )
+    return pa.table(arrays)
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -194,9 +308,7 @@ def asof_join(
     Partitioning assumption: all rows of one ``by`` key land in one
     bucket (required for correctness) and a bucket fits a task heap —
     size ``num_buckets`` to the combined table. For time-series where
-    single keys outgrow a task, sub-partition by coarse time range and
-    duplicate each right partition's last row into the next range
-    (not needed at this repo's key cardinalities).
+    single keys outgrow a task, use ``asof_join_time_partitioned``.
 
     Determinism with duplicate right timestamps: among right rows that
     tie on ``(by, ts)`` the one with the greatest first-payload value
@@ -204,89 +316,24 @@ def asof_join(
     both this side and the DuckDB ``ASOF JOIN`` oracle (arg_max).
     """
     out_names = list(payload.values())
-    left_names = list(left_schema.names)
     tiebreak = out_names[0]
 
     def prep_left(batch: pa.Table) -> pa.Table:
-        cols = {
-            _BUCKET: pa.array(
-                [_bucket_of(v, num_buckets) for v in batch[by].to_pylist()],
-                pa.int32(),
-            ),
-            _SIDE: pa.array([0] * batch.num_rows, pa.int8()),
-        }
-        for name in left_names:
-            cols[name] = batch[name]
-        for name in out_names:
-            cols[name] = pa.nulls(batch.num_rows, payload_types[name])
-        return pa.table(cols)
+        return _prep_side(
+            batch, 0, _key_buckets(batch, by, num_buckets),
+            by, ts, left_schema, payload, payload_types,
+        )
 
     def prep_right(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        keys = batch[by].to_pylist()
-        cols = {
-            _BUCKET: pa.array(
-                [_bucket_of(v, num_buckets) for v in keys], pa.int32()
-            ),
-            _SIDE: pa.array([1] * n, pa.int8()),
-        }
-        for name in left_names:
-            if name == by:
-                cols[name] = pa.array(keys, left_schema.field(by).type)
-            elif name == ts:
-                cols[name] = batch[ts].cast(left_schema.field(ts).type)
-            else:
-                cols[name] = pa.nulls(n, left_schema.field(name).type)
-        for rcol, name in payload.items():
-            cols[name] = batch[rcol].cast(payload_types[name])
-        return pa.table(cols)
+        return _prep_side(
+            batch, 1, _key_buckets(batch, by, num_buckets),
+            by, ts, left_schema, payload, payload_types,
+        )
 
     def join_group(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
-        rt = (
-            g.filter(pc.equal(g[_SIDE], 1))
-            .select([by, ts] + out_names)
-            .to_pandas()
+        return _asof_merge_group(
+            g, by, ts, left_schema, out_names, payload_types, tiebreak
         )
-        if len(lt) == 0 or len(rt) == 0:
-            return pa.table(
-                {
-                    **{n: pa.array([], left_schema.field(n).type)
-                       for n in left_names},
-                    **{n: pa.array([], payload_types[n]) for n in out_names},
-                }
-            )
-        # deterministic tie-break among equal (by, ts) right rows
-        rt = (
-            rt.sort_values([ts, tiebreak], kind="mergesort")
-            .drop_duplicates([by, ts], keep="last")
-            .sort_values(ts, kind="mergesort")
-        )
-        joined = __import__("pandas").merge_asof(
-            lt.sort_values(ts, kind="mergesort"),
-            rt,
-            on=ts,
-            by=by,
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        joined = joined.dropna(subset=[tiebreak])
-        arrays = {}
-        for name in left_names:
-            arrays[name] = pa.array(
-                joined[name].tolist(), type=left_schema.field(name).type
-            )
-        for name in out_names:
-            t = payload_types[name]
-            col = joined[name]
-            if pa.types.is_integer(t):
-                # merge_asof upcasts int payload to float64 (NaN slots,
-                # dropped above) — restore before typed construction
-                col = col.astype("int64")
-            arrays[name] = pa.array(col.tolist(), type=t)
-        return pa.table(arrays)
 
     combined = left.map_batches(prep_left, batch_format="pyarrow").union(
         right.map_batches(prep_right, batch_format="pyarrow")
@@ -315,11 +362,10 @@ def range_join(
     all-matches companion to ``asof_join``'s latest-match). Inner
     semantics: left rows with no match emit nothing.
 
-    Same physical plan as ``asof_join`` (hash-bucket both sides on
-    ``by``, union, one ``groupby(bucket).map_groups``); inside a bucket
-    each key's right timestamps are sorted once and every left row's
-    window is located with two vectorized ``searchsorted`` calls — no
-    per-pair Python work before the final gather.
+    Same physical plan as ``asof_join``; inside a bucket both sides are
+    grouped by key ONCE (a dict of left frames — not a per-key rescan
+    of the whole bucket) and every left row's window is located with
+    two vectorized ``searchsorted`` calls.
 
     Partitioning assumption: as ``asof_join``. Additionally the OUTPUT
     is data-dependent (a hot key with a dense window emits
@@ -336,49 +382,19 @@ def range_join(
     upper_np = np.timedelta64(upper_offset)
 
     def prep_left(batch: pa.Table) -> pa.Table:
-        cols = {
-            _BUCKET: pa.array(
-                [_bucket_of(v, num_buckets) for v in batch[by].to_pylist()],
-                pa.int32(),
-            ),
-            _SIDE: pa.array([0] * batch.num_rows, pa.int8()),
-        }
-        for name in left_names:
-            cols[name] = batch[name]
-        for name in out_names:
-            cols[name] = pa.nulls(batch.num_rows, payload_types[name])
-        return pa.table(cols)
+        return _prep_side(
+            batch, 0, _key_buckets(batch, by, num_buckets),
+            by, ts, left_schema, payload, payload_types,
+        )
 
     def prep_right(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        keys = batch[by].to_pylist()
-        cols = {
-            _BUCKET: pa.array(
-                [_bucket_of(v, num_buckets) for v in keys], pa.int32()
-            ),
-            _SIDE: pa.array([1] * n, pa.int8()),
-        }
-        for name in left_names:
-            if name == by:
-                cols[name] = pa.array(keys, left_schema.field(by).type)
-            elif name == ts:
-                cols[name] = batch[ts].cast(left_schema.field(ts).type)
-            else:
-                cols[name] = pa.nulls(n, left_schema.field(name).type)
-        for rcol, name in payload.items():
-            cols[name] = batch[rcol].cast(payload_types[name])
-        return pa.table(cols)
-
-    def _empty() -> pa.Table:
-        return pa.table(
-            {
-                **{n: pa.array([], left_schema.field(n).type)
-                   for n in left_names},
-                **{n: pa.array([], payload_types[n]) for n in out_names},
-            }
+        return _prep_side(
+            batch, 1, _key_buckets(batch, by, num_buckets),
+            by, ts, left_schema, payload, payload_types,
         )
 
     def join_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
         import pyarrow.compute as pc
 
         lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
@@ -388,11 +404,13 @@ def range_join(
             .to_pandas()
         )
         if len(lt) == 0 or len(rt) == 0:
-            return _empty()
+            return _empty_joined(left_schema, out_names, payload_types)
+        # group BOTH sides once; never rescan the bucket per key
+        left_groups = {k: v for k, v in lt.groupby(by, sort=False)}
         left_parts, right_parts = [], []
         for key, rgrp in rt.groupby(by, sort=False):
-            lgrp = lt[lt[by] == key]
-            if len(lgrp) == 0:
+            lgrp = left_groups.get(key)
+            if lgrp is None:
                 continue
             rgrp = rgrp.sort_values(ts, kind="mergesort")
             rts = rgrp[ts].to_numpy()
@@ -410,9 +428,7 @@ def range_join(
             left_parts.append(lgrp.iloc[left_idx])
             right_parts.append(rgrp.iloc[right_idx])
         if not left_parts:
-            return _empty()
-        import pandas as pd
-
+            return _empty_joined(left_schema, out_names, payload_types)
         lout = pd.concat(left_parts, ignore_index=True)
         rout = pd.concat(right_parts, ignore_index=True)
         arrays = {}
@@ -453,83 +469,90 @@ def asof_join_time_partitioned(
 
     Correctness across epoch boundaries (a left row whose latest match
     lies in an EARLIER epoch) is restored by a carry stage: a small
-    per-(key, epoch) aggregate keeps each epoch's LAST right row, a
-    per-key prefix scan (grouped by key-bucket — one row per (key,
-    epoch), tiny) turns it into "latest right row strictly before epoch
-    e", and that one carry row is injected into epoch e's group.
-    Three bounded exchanges total; no group ever holds more than one
-    epoch of one bucket plus one carry row per key.
+    per-(key, epoch) aggregate keeps each epoch's LAST right row, and a
+    per-key binary search injects the latest-earlier right row into
+    every LEFT-active epoch (left-active, not right-active: a left row
+    in an epoch with no right rows still needs its carry). Three
+    bounded exchanges total; no group ever holds more than one epoch of
+    one bucket plus one carry row per key.
+
+    All epoch computation happens on the Arrow side with an explicit
+    cast to ``timestamp(us)`` — pandas-side int64 views of ns-resolution
+    inputs would silently compute epochs on a 1000× scale.
 
     Same tie-break and inner semantics as ``asof_join`` (equivalence-
-    tested against it on random data, tests/test_asof_join.py).
+    tested against it on random cross-epoch data,
+    tests/test_asof_join.py).
     """
     import datetime
 
-    import numpy as np
     import pandas as pd
+    import pyarrow.compute as pc
 
     out_names = list(payload.values())
-    left_names = list(left_schema.names)
     tiebreak = out_names[0]
+    raw_payload = list(payload.keys())
+    raw_tiebreak = raw_payload[0]
+    ts_type = left_schema.field(ts).type
+    by_type = left_schema.field(by).type
     epoch_us = int(epoch / datetime.timedelta(microseconds=1))
 
-    def _epoch_of(ts_arr: "pa.Array") -> list[int]:
+    def _epochs(ts_arr) -> list[int]:
         us = ts_arr.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
         return [v // epoch_us for v in us]
 
+    def _epoch_buckets(keys: list, eps: list[int]) -> pa.Array:
+        return pa.array(
+            [
+                _bucket_of(k, num_buckets) * 1_000_003 + e
+                for k, e in zip(keys, eps)
+            ],
+            pa.int64(),
+        )
+
     def prep_left(batch: pa.Table) -> pa.Table:
-        keys = batch[by].to_pylist()
-        ep = _epoch_of(batch[ts])
-        cols = {
-            _BUCKET: pa.array(
-                [
-                    _bucket_of(k, num_buckets) * 1_000_003 + e
-                    for k, e in zip(keys, ep)
-                ],
-                pa.int64(),
-            ),
-            _SIDE: pa.array([0] * batch.num_rows, pa.int8()),
-        }
-        for name in left_names:
-            cols[name] = batch[name]
-        for name in out_names:
-            cols[name] = pa.nulls(batch.num_rows, payload_types[name])
-        return pa.table(cols)
+        bv = _epoch_buckets(batch[by].to_pylist(), _epochs(batch[ts]))
+        return _prep_side(
+            batch, 0, bv, by, ts, left_schema, payload, payload_types
+        )
 
-    def prep_right(batch: pa.Table, shift: int = 0) -> pa.Table:
+    def prep_right(batch: pa.Table) -> pa.Table:
+        bv = _epoch_buckets(batch[by].to_pylist(), _epochs(batch[ts]))
+        return _prep_side(
+            batch, 1, bv, by, ts, left_schema, payload, payload_types
+        )
+
+    # ---- carry stage ------------------------------------------------
+    # homogeneous schema for every block feeding the carry groupby:
+    # [by, ts, raw payload (cast), __e, __mark, __kb]
+    def _carry_norm(batch: pa.Table, mark_val: int) -> pa.Table:
         n = batch.num_rows
-        keys = batch[by].to_pylist()
-        ep = [e + shift for e in _epoch_of(batch[ts])]
-        cols = {
-            _BUCKET: pa.array(
-                [
-                    _bucket_of(k, num_buckets) * 1_000_003 + e
-                    for k, e in zip(keys, ep)
-                ],
-                pa.int64(),
-            ),
-            _SIDE: pa.array([1] * n, pa.int8()),
-        }
-        for name in left_names:
-            if name == by:
-                cols[name] = pa.array(keys, left_schema.field(by).type)
-            elif name == ts:
-                cols[name] = batch[ts].cast(left_schema.field(ts).type)
-            else:
-                cols[name] = pa.nulls(n, left_schema.field(name).type)
-        for rcol, name in payload.items():
-            cols[name] = batch[rcol].cast(payload_types[name])
+        cols = {"__kb": pa.array(
+            [_bucket_of(k, num_buckets) for k in batch[by].to_pylist()],
+            pa.int32(),
+        )}
+        cols[by] = batch[by].cast(by_type)
+        cols[ts] = (
+            batch[ts].cast(ts_type)
+            if ts in batch.column_names
+            else pa.nulls(n, ts_type)
+        )
+        for rcol in raw_payload:
+            cols[rcol] = (
+                batch[rcol].cast(payload_types[payload[rcol]])
+                if rcol in batch.column_names
+                else pa.nulls(n, payload_types[payload[rcol]])
+            )
+        cols["__e"] = batch["__e"].cast(pa.int64())
+        cols["__mark"] = pa.array([mark_val] * n, pa.int8())
         return pa.table(cols)
 
-    # ---- carry stage: latest right row strictly BEFORE each epoch ----
-    # 1) per (key, epoch): last right row (tie-break aware) — a small
-    #    per-batch combiner + one bounded groupby
-    raw_tiebreak = list(payload.keys())[0]
-
+    # 1) per (key, epoch): last right row (tie-break aware); epochs
+    #    computed on the Arrow side (us-normalized)
     def last_per_epoch(batch: pa.Table) -> pa.Table:
+        ep = _epochs(batch[ts])
         df = batch.to_pandas()
-        df["__e"] = [v // epoch_us for v in
-                     df[ts].astype("int64").to_numpy()]
+        df["__e"] = ep
         df = df.sort_values([ts, raw_tiebreak], kind="mergesort")
         lastr = df.groupby([by, "__e"], as_index=False).last()
         return pa.Table.from_pandas(lastr, preserve_index=False)
@@ -538,56 +561,69 @@ def asof_join_time_partitioned(
         g = g.sort_values([ts, raw_tiebreak], kind="mergesort")
         return g.groupby([by, "__e"], as_index=False).last()
 
-    def add_kbucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__kb",
-            pa.array(
-                [_bucket_of(k, num_buckets) for k in batch[by].to_pylist()],
-                pa.int32(),
-            ),
-        )
-
-    right_cols = [by, ts] + list(payload.keys())
     lasts = (
-        right.select_columns(right_cols)
+        right.select_columns([by, ts] + raw_payload)
         .map_batches(last_per_epoch, batch_format="pyarrow")
-        .map_batches(add_kbucket, batch_format="pyarrow")
+        .map_batches(lambda b: _carry_norm(b, 0), batch_format="pyarrow")
         .groupby("__kb")
         .map_groups(
-            lambda g: merge_last(g.drop(columns="__kb")),
-            batch_format="pandas",
+            lambda g: pa.Table.from_pandas(
+                merge_last(
+                    g.drop_columns(["__mark"]).to_pandas()
+                ).drop(columns="__kb"),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
             num_cpus=NO_FUSE_NUM_CPUS,
         )
+        .map_batches(lambda b: _carry_norm(b, 0), batch_format="pyarrow")
     )
 
-    # 2) distinct LEFT (key, epoch) pairs — the epochs that NEED a
-    #    carry (a left row's match may live in ANY earlier epoch,
-    #    including when its own epoch has no right rows at all)
+    # 2) distinct LEFT (key, epoch) pairs — the epochs that NEED a carry
     def left_epochs(batch: pa.Table) -> pa.Table:
         keys = batch[by].to_pylist()
-        ep = _epoch_of(batch[ts])
+        ep = _epochs(batch[ts])
         pairs = sorted(set(zip(keys, ep)))
         return pa.table(
             {
-                by: pa.array([p[0] for p in pairs],
-                             left_schema.field(by).type),
+                by: pa.array([p[0] for p in pairs], by_type),
                 "__e": pa.array([p[1] for p in pairs], pa.int64()),
             }
         )
 
-    left_marks = left.map_batches(left_epochs, batch_format="pyarrow")
+    left_marks = left.map_batches(
+        left_epochs, batch_format="pyarrow"
+    ).map_batches(lambda b: _carry_norm(b, 1), batch_format="pyarrow")
 
-    # 3) per key (grouped by key-bucket): for every left-active epoch e
-    #    emit the latest right epoch-last with epoch < e — one binary
-    #    search per (key, left-epoch), one carry row out
-    def carries(g: pd.DataFrame) -> pd.DataFrame:
+    # 3) per key: binary-search the latest right epoch-last strictly
+    #    before each left-active epoch. Sides are split on the ARROW
+    #    table (mark-row nulls never touch the payload frame, so int64
+    #    ids never round-trip through float64).
+    def carries(g: pa.Table) -> pa.Table:
         import numpy as np
 
-        marks = g[g["__mark"] == 1]
-        lastr = g[g["__mark"] == 0]
+        marks = (
+            g.filter(pc.equal(g["__mark"], 1)).select([by, "__e"]).to_pandas()
+        )
+        lastr = (
+            g.filter(pc.equal(g["__mark"], 0))
+            .select([by, ts] + raw_payload + ["__e"])
+            .to_pandas()
+        )
+        carry_schema = pa.schema(
+            [(by, by_type), (ts, ts_type)]
+            + [(rcol, payload_types[payload[rcol]]) for rcol in raw_payload]
+            + [("__e", pa.int64())]
+        )
+        if len(marks) == 0 or len(lastr) == 0:
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in carry_schema}
+            )
         outs = []
-        last_by_key = {k: kg.sort_values("__e", kind="mergesort")
-                       for k, kg in lastr.groupby(by, sort=False)}
+        last_by_key = {
+            k: kg.sort_values("__e", kind="mergesort")
+            for k, kg in lastr.groupby(by, sort=False)
+        }
         for k, mk in marks.groupby(by, sort=False):
             kg = last_by_key.get(k)
             if kg is None:
@@ -600,94 +636,33 @@ def asof_join_time_partitioned(
                     row["__e"] = e
                     outs.append(row)
         if not outs:
-            return lastr.iloc[0:0].drop(columns="__mark")
-        return pd.DataFrame(outs).drop(columns="__mark")
-
-    def mark(batch: pa.Table, m: int) -> pa.Table:
-        return batch.append_column(
-            "__mark", pa.array([m] * batch.num_rows, pa.int8())
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in carry_schema}
+            )
+        out = pd.DataFrame(outs)
+        return pa.table(
+            {
+                f.name: pa.array(out[f.name].tolist(), type=f.type)
+                for f in carry_schema
+            }
         )
 
-    carry_input = lasts.map_batches(
-        lambda b: mark(b, 0), batch_format="pyarrow"
-    ).union(
-        left_marks.map_batches(lambda b: mark(b, 1), batch_format="pyarrow")
-    )
-    carry_ds = carry_input.map_batches(
-        add_kbucket, batch_format="pyarrow"
-    ).groupby("__kb").map_groups(
-        lambda g: carries(g.drop(columns="__kb")),
-        batch_format="pandas",
-        num_cpus=NO_FUSE_NUM_CPUS,
+    carry_ds = lasts.union(left_marks).groupby("__kb").map_groups(
+        carries, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
     )
 
     def prep_carry(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        keys = batch[by].to_pylist()
-        ep = batch["__e"].to_pylist()
-        cols = {
-            _BUCKET: pa.array(
-                [
-                    _bucket_of(k, num_buckets) * 1_000_003 + e
-                    for k, e in zip(keys, ep)
-                ],
-                pa.int64(),
-            ),
-            _SIDE: pa.array([1] * n, pa.int8()),
-        }
-        for name in left_names:
-            if name == by:
-                cols[name] = pa.array(keys, left_schema.field(by).type)
-            elif name == ts:
-                cols[name] = batch[ts].cast(left_schema.field(ts).type)
-            else:
-                cols[name] = pa.nulls(n, left_schema.field(name).type)
-        for rcol, name in payload.items():
-            cols[name] = batch[rcol].cast(payload_types[name])
-        return pa.table(cols)
+        bv = _epoch_buckets(
+            batch[by].to_pylist(), batch["__e"].to_pylist()
+        )
+        return _prep_side(
+            batch, 1, bv, by, ts, left_schema, payload, payload_types
+        )
 
     def join_group(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
-        rt = (
-            g.filter(pc.equal(g[_SIDE], 1))
-            .select([by, ts] + out_names)
-            .to_pandas()
+        return _asof_merge_group(
+            g, by, ts, left_schema, out_names, payload_types, tiebreak
         )
-        if len(lt) == 0 or len(rt) == 0:
-            return pa.table(
-                {
-                    **{n: pa.array([], left_schema.field(n).type)
-                       for n in left_names},
-                    **{n: pa.array([], payload_types[n]) for n in out_names},
-                }
-            )
-        rt = (
-            rt.sort_values([ts, tiebreak], kind="mergesort")
-            .drop_duplicates([by, ts], keep="last")
-            .sort_values(ts, kind="mergesort")
-        )
-        joined = pd.merge_asof(
-            lt.sort_values(ts, kind="mergesort"),
-            rt,
-            on=ts,
-            by=by,
-            direction="backward",
-            allow_exact_matches=True,
-        ).dropna(subset=[tiebreak])
-        arrays = {}
-        for name in left_names:
-            arrays[name] = pa.array(
-                joined[name].tolist(), type=left_schema.field(name).type
-            )
-        for name in out_names:
-            t = payload_types[name]
-            col = joined[name]
-            if pa.types.is_integer(t):
-                col = col.astype("int64")
-            arrays[name] = pa.array(col.tolist(), type=t)
-        return pa.table(arrays)
 
     combined = (
         left.map_batches(prep_left, batch_format="pyarrow")

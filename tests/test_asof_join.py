@@ -208,3 +208,71 @@ def test_time_partitioned_asof_equals_plain():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_ns_resolution_and_large_ids():
+    """Regression for two review findings: (1) ns-resolution timestamp
+    inputs must compute epochs identically to us inputs (the pandas
+    int64 view of ns data is 1000x off-scale); (2) 64-bit ids above
+    2^53 must survive exactly (the merge_asof float64 round-trip
+    corrupts them unless the merge runs on a positional index)."""
+    import random
+
+    from finance_sc_relations_ray.stages.joins import (
+        asof_join_time_partitioned,
+    )
+
+    big = 2**53 + 1  # not representable in float64
+    rng = random.Random(5)
+    left = [
+        {"event_id": i, "user_id": rng.randrange(3), "ts": _ts(rng.randrange(300))}
+        for i in range(60)
+    ]
+    right = [
+        {
+            "event_id": big + i,
+            "user_id": rng.randrange(3),
+            "ts": _ts(rng.randrange(300)),
+            "value": float(i),
+        }
+        for i in range(40)
+    ]
+    exp = _brute(left, right)
+
+    ns_schema_l = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+        ]
+    )
+    ns_schema_r = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),
+            ("value", pa.float64()),
+        ]
+    )
+    left_ds = ray.data.from_arrow(pa.Table.from_pylist(left, schema=ns_schema_l))
+    right_ds = ray.data.from_arrow(pa.Table.from_pylist(right, schema=ns_schema_r))
+    got = (
+        asof_join_time_partitioned(
+            left_ds,
+            right_ds,
+            by="user_id",
+            ts="ts",
+            payload={"event_id": "match_event_id", "value": "match_value"},
+            left_schema=LEFT_SCHEMA,  # declares us — prep casts ns inputs
+            payload_types=PAYLOAD_TYPES,
+            epoch=datetime.timedelta(minutes=15),
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    # ids preserved bit-exact (no float64 round-trip)
+    assert got["match_event_id"].tolist() == exp["match_event_id"].tolist()
+    assert (got["match_event_id"] > 2**53).all()

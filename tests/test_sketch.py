@@ -82,10 +82,12 @@ def test_hll_merge_equals_union():
     assert a.merge(b).to_bytes() == u.to_bytes()
 
 
-def test_hll_query_matches_exact_within_error(tmp_path):
+def test_hll_query_matches_exact_within_error():
+    import os
+
     import __ray_entry__ as entry
 
-    sf = "/root/testdata/sf0.001"
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
     approx = entry.queries()["approx_distinct_users"](sf)["n_users_approx"][0]
     exact = entry.queries()["distinct_user_count"](sf)["n_users"][0]
     assert abs(approx - exact) / exact < 0.065, (approx, exact)
