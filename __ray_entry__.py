@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": R.events_asof_join,
         "events_asof_join_epoch": R.events_asof_join_epoch,
         "events_range_join": R.events_range_join,
+        "events_range_join_epoch": R.events_range_join_epoch,
         "events_user_cumsum": R.events_user_cumsum,
         "segment_order_stats_bucket_join": R.segment_order_stats_bucket_join,
         # text / training-data operators over documents
@@ -342,6 +343,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment
         """,
         "events_range_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS match_event_id,
+                   r.value    AS match_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view') r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 10 MINUTE AND l.ts
+        """,
+        "events_range_join_epoch": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.event_id AS match_event_id,
                    r.value    AS match_value

@@ -784,3 +784,55 @@ def events_asof_join_epoch(sf_dir: str) -> pd.DataFrame:
         epoch=datetime.timedelta(hours=6),
     ).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_range_join_epoch(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
+    """``events_range_join`` through the bounded-memory plan
+    (stages/joins.range_join_time_partitioned, 1-hour epochs ≥ the
+    10-minute window): same DuckDB BETWEEN oracle — the epoch plan must
+    be exactly equivalent."""
+    import datetime
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = left.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    right = right.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ..stages.joins import range_join_time_partitioned
+
+    out = range_join_time_partitioned(
+        left,
+        right,
+        by="user_id",
+        ts="ts",
+        lower_offset=datetime.timedelta(minutes=-window_min),
+        upper_offset=datetime.timedelta(0),
+        payload={"event_id": "match_event_id", "value": "match_value"},
+        left_schema=pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+            ]
+        ),
+        payload_types={
+            "match_event_id": pa.int64(),
+            "match_value": pa.float64(),
+        },
+        epoch=datetime.timedelta(hours=1),
+    ).to_pandas()
+    return out.sort_values(
+        ["event_id", "match_event_id"]
+    ).reset_index(drop=True)

@@ -672,3 +672,152 @@ def asof_join_time_partitioned(
     return combined.groupby(_BUCKET).map_groups(
         join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
     )
+
+
+def range_join_time_partitioned(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    ts: str,
+    lower_offset,
+    upper_offset,
+    payload: dict[str, str],
+    left_schema: pa.Schema,
+    payload_types: dict[str, pa.DataType],
+    epoch,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """``range_join`` with bounded per-task memory (the mitigation its
+    docstring prescribes): rows sub-partition into ``(key-bucket,
+    epoch)`` groups. Because the window is bounded and ``epoch`` must
+    be ≥ the window span, a left row's window can only reach into its
+    own epoch and the one before — so each right row is emitted twice
+    (its epoch and the NEXT one) and the per-group searchsorted join is
+    exact with no carry scan at all. Each right row appears in exactly
+    one group a given left row joins against, so no dedup is needed.
+
+    Requires ``epoch >= upper_offset - lower_offset`` (asserted) and,
+    for the backward window shape used here, ``upper_offset <= 0 or
+    lower_offset >= -epoch`` style bounds are implied by that span
+    check. Two× right-row duplication is the entire overhead.
+    """
+    import datetime
+
+    import numpy as np
+
+    span = upper_offset - lower_offset
+    assert span <= epoch, (
+        f"epoch ({epoch}) must cover the window span ({span})"
+    )
+    out_names = list(payload.values())
+    left_names = list(left_schema.names)
+    lower_np = np.timedelta64(lower_offset)
+    upper_np = np.timedelta64(upper_offset)
+    epoch_us = int(epoch / datetime.timedelta(microseconds=1))
+    # shift epochs so the WINDOW (not the row ts) defines alignment:
+    # left row epoch is computed at ts+lower (window start), right row
+    # at its own ts; right duplicated into the next epoch covers a
+    # window crossing one boundary
+    lower_us = int(
+        (lower_offset if isinstance(lower_offset, datetime.timedelta)
+         else datetime.timedelta(0)) / datetime.timedelta(microseconds=1)
+    )
+
+    def _epochs(ts_arr, shift_us: int = 0) -> list[int]:
+        us = ts_arr.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        return [(v + shift_us) // epoch_us for v in us]
+
+    def _epoch_buckets(keys: list, eps: list[int]) -> pa.Array:
+        return pa.array(
+            [
+                _bucket_of(k, num_buckets) * 1_000_003 + e
+                for k, e in zip(keys, eps)
+            ],
+            pa.int64(),
+        )
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        # left rows grouped by the epoch of their WINDOW START
+        bv = _epoch_buckets(
+            batch[by].to_pylist(), _epochs(batch[ts], lower_us)
+        )
+        return _prep_side(
+            batch, 0, bv, by, ts, left_schema, payload, payload_types
+        )
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        # Coverage argument: a left row in group e has its window
+        # start in real-time epoch e (left groups use the +lower
+        # shift), so the window [start, start+span] with span ≤ W lies
+        # inside real-time epochs {e, e+1}. A right row with UNSHIFTED
+        # epoch g can therefore only match left groups {g-1, g} —
+        # duplicating each right row into exactly those two groups
+        # makes the per-group join exact, and since a left row lives
+        # in one group and each right copy in distinct groups, no
+        # output dedup is needed.
+        keys = batch[by].to_pylist()
+        eps = _epochs(batch[ts])
+        t1 = _prep_side(
+            batch, 1, _epoch_buckets(keys, eps),
+            by, ts, left_schema, payload, payload_types,
+        )
+        t2 = _prep_side(
+            batch, 1, _epoch_buckets(keys, [e - 1 for e in eps]),
+            by, ts, left_schema, payload, payload_types,
+        )
+        return pa.concat_tables([t1, t2])
+
+    def join_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        lt = g.filter(pc.equal(g[_SIDE], 0)).select(left_names).to_pandas()
+        rt = (
+            g.filter(pc.equal(g[_SIDE], 1))
+            .select([by, ts] + out_names)
+            .to_pandas()
+        )
+        if len(lt) == 0 or len(rt) == 0:
+            return _empty_joined(left_schema, out_names, payload_types)
+        left_groups = {k: v for k, v in lt.groupby(by, sort=False)}
+        left_parts, right_parts = [], []
+        for key, rgrp in rt.groupby(by, sort=False):
+            lgrp = left_groups.get(key)
+            if lgrp is None:
+                continue
+            rgrp = rgrp.sort_values(ts, kind="mergesort")
+            rts = rgrp[ts].to_numpy()
+            lts = lgrp[ts].to_numpy()
+            lo = np.searchsorted(rts, lts + lower_np, side="left")
+            hi = np.searchsorted(rts, lts + upper_np, side="right")
+            counts = hi - lo
+            keep = counts > 0
+            if not keep.any():
+                continue
+            left_idx = np.repeat(np.flatnonzero(keep), counts[keep])
+            right_idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo[keep], hi[keep])]
+            )
+            left_parts.append(lgrp.iloc[left_idx])
+            right_parts.append(rgrp.iloc[right_idx])
+        if not left_parts:
+            return _empty_joined(left_schema, out_names, payload_types)
+        lout = pd.concat(left_parts, ignore_index=True)
+        rout = pd.concat(right_parts, ignore_index=True)
+        arrays = {}
+        for name in left_names:
+            arrays[name] = pa.array(
+                lout[name].tolist(), type=left_schema.field(name).type
+            )
+        for name in out_names:
+            arrays[name] = pa.array(
+                rout[name].tolist(), type=payload_types[name]
+            )
+        return pa.table(arrays)
+
+    combined = left.map_batches(prep_left, batch_format="pyarrow").union(
+        right.map_batches(prep_right, batch_format="pyarrow")
+    )
+    return combined.groupby(_BUCKET).map_groups(
+        join_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
+    )

@@ -135,3 +135,66 @@ def test_range_join_inclusive_bounds_and_inner_drop():
     got = _run(left, right)
     assert got["event_id"].tolist() == [1, 1]
     assert got["match_event_id"].tolist() == [100, 101]
+
+
+def test_time_partitioned_range_join_equals_plain():
+    """range_join_time_partitioned (window-start epoch grouping +
+    2x right duplication) must emit EXACTLY the plain range_join
+    pairs, including windows that straddle an epoch boundary — with
+    the tight case epoch == window span."""
+    import random
+
+    from finance_sc_relations_ray.stages.joins import (
+        range_join_time_partitioned,
+    )
+
+    rng = random.Random(31)
+    left = [
+        {"event_id": i, "user_id": rng.randrange(4),
+         "ts": _ts(rng.randrange(2000) / 10.0)}  # 6-second grid
+        for i in range(150)
+    ]
+    right = [
+        {
+            "event_id": 1000 + i,
+            "user_id": rng.randrange(4),
+            "ts": _ts(rng.randrange(2000) / 10.0),
+            "value": float(i),
+        }
+        for i in range(120)
+    ]
+    exp = _brute(left, right)
+
+    left_ds = ray.data.from_arrow(pa.Table.from_pylist(left, schema=LEFT_SCHEMA))
+    right_ds = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            right,
+            schema=pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("value", pa.float64()),
+                ]
+            ),
+        )
+    )
+    got = (
+        range_join_time_partitioned(
+            left_ds,
+            right_ds,
+            by="user_id",
+            ts="ts",
+            lower_offset=-WINDOW,
+            upper_offset=datetime.timedelta(0),
+            payload={"event_id": "match_event_id", "value": "match_value"},
+            left_schema=LEFT_SCHEMA,
+            payload_types=PAYLOAD_TYPES,
+            epoch=WINDOW,  # tight: epoch == window span
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["event_id", "match_event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
