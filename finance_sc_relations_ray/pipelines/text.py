@@ -608,18 +608,23 @@ def ngram_jaccard_pairs(
         explode, batch_format="pyarrow"
     ).materialize()
 
-    # per-doc shingle counts: one row per doc, kept distributed in the
-    # object store (materialized once, consumed by both join passes —
-    # never a driver dict)
-    counts_ds = (
-        shingle_rows.groupby("doc_id")
-        .count()
-        .map_batches(
-            lambda b: pa.table(
-                {"doc_id": b["doc_id"], "n": b["count()"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
+    # per-doc DISTINCT shingle counts: |shingles(doc)| is computable
+    # per row at read time — no shuffle (the round-2 first cut ran a
+    # full groupby(doc_id).count() exchange over every shingle row just
+    # to recover a number the explode stage already knew). One row per
+    # doc, kept distributed (never a driver dict), consumed by both
+    # join passes.
+    def count_shingles(batch: pa.Table) -> pa.Table:
+        ns = [
+            len(textops.shingles(t, n)) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n": pa.array(ns, pa.int64())}
         )
+
+    counts_ds = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(count_shingles, batch_format="pyarrow")
         .materialize()
     )
 
