@@ -41,3 +41,68 @@ def test_worker_death_is_retried_exactly(tmp_path):
     assert os.path.exists(sentinel)  # the kill really happened
     assert len(out) == 1000  # no lost rows
     assert out["double"].tolist() == [2 * i for i in range(1000)]
+
+
+def test_kg_actor_death_is_retried_exactly(tmp_path):
+    """Same guarantee for the ACTOR-pool path (the stateful stages):
+    one actor process dies mid-run; the pool restarts it, the task
+    retries, and the triples match the oracle exactly. The chaos
+    subclass is defined in-test (closure-pickled) because module-level
+    classes serialize by reference — a monkeypatch would never reach
+    the worker processes."""
+    import pyarrow.parquet as pq
+
+    from finance_sc_relations_ray.config import DEFAULT_CONFIG
+    from finance_sc_relations_ray.sources.pages import generate_pages
+    from finance_sc_relations_ray.stages.fused import PageKGActor
+    from finance_sc_relations_ray.gazetteer import company_db_table
+    import ray
+    from finance_sc_relations_ray.stages.triples import to_triples_batch
+    from finance_sc_relations_ray.stages.shuffle import salted_dedup
+    from oracle.kg_oracle import expected_triples
+
+    sentinel = str(tmp_path / "actor-killed-once")
+    pages = generate_pages(list(range(100)))
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, path, row_group_size=16)
+
+    class ChaosPageKGActor(PageKGActor):
+        def __call__(self, batch):
+            if not os.path.exists(sentinel):
+                with open(sentinel, "w") as fh:
+                    fh.write("x")
+                os._exit(1)
+            return super().__call__(batch)
+
+    import functools
+
+    ds = ray.data.read_parquet(path, columns=["url", "html", "lang"])
+    ds = ds.repartition(4)
+    linked = ds.map_batches(
+        ChaosPageKGActor,
+        fn_constructor_kwargs={
+            "config": DEFAULT_CONFIG,
+            "db_ref": ray.put(company_db_table()),
+        },
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    triples = linked.map_batches(
+        functools.partial(to_triples_batch, config=DEFAULT_CONFIG),
+        batch_format="pyarrow",
+    )
+    got = (
+        salted_dedup(triples, ["subj", "pred", "obj"])
+        .to_pandas()
+        .astype({"score": "float64"})
+        .round({"score": 4})
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    exp = expected_triples(pages)
+    assert os.path.exists(sentinel)  # an actor really died
+    assert len(got) == len(exp)
+    assert got["subj"].tolist() == exp["subj"].tolist()
+    assert got["n_mentions"].tolist() == exp["n_mentions"].tolist()
