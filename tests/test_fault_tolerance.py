@@ -106,3 +106,51 @@ def test_kg_actor_death_is_retried_exactly(tmp_path):
     assert len(got) == len(exp)
     assert got["subj"].tolist() == exp["subj"].tolist()
     assert got["n_mentions"].tolist() == exp["n_mentions"].tolist()
+
+
+def test_object_store_spill_keeps_job_alive(tmp_path):
+    """Memory-aware guarantee: materializing a dataset LARGER than the
+    object store must spill to disk and complete, not OOM — run in a
+    subprocess with a deliberately tiny (256 MiB) store and ~1 GiB of
+    generated blocks."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import numpy as np
+        import pyarrow as pa
+        import ray, ray.data
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 object_store_memory=256 * 1024 * 1024,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+
+        def blowup(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            payload = [np.random.default_rng(int(i)).bytes(1_000_000)
+                       for i in batch["id"].to_pylist()]
+            return pa.table({"id": batch["id"],
+                             "payload": pa.array(payload, pa.binary())})
+
+        ds = ray.data.range(1000).map_batches(
+            blowup, batch_size=50, batch_format="pyarrow"
+        ).materialize()  # ~1 GiB >> 256 MiB store -> must spill
+        assert ds.count() == 1000
+        total = sum(len(b["payload"][0].as_py())
+                    for b in ds.iter_batches(batch_size=1,
+                                             batch_format="pyarrow"))
+        assert total == 1000 * 1_000_000, total
+        print("SPILL-OK")
+        ray.shutdown()
+        """
+    )
+    env = {**os.environ, "RAY_ADDRESS": ""}
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SPILL-OK" in proc.stdout
