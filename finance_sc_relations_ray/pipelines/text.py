@@ -463,9 +463,23 @@ def minhash_dup_pairs(
     from ..stages.joins import bucket_lookup_join
 
     # candidate-doc shingle sets: small side (candidates only), kept in
-    # the object store (materialized once, consumed by both joins)
+    # the object store (materialized once, consumed by both joins).
+    # When the candidate set is small, the doc_id filter is PUSHED TO
+    # THE PARQUET SCAN (row-group statistics pruning — S7): at corpus
+    # scale the verify stage must not re-read every text byte to keep
+    # ~0.1% of rows. Large candidate sets fall back to the full scan +
+    # Bloom semi-join (an isin filter that big would bloat the plan).
+    import pyarrow.dataset as pads
+
+    read_kwargs = {}
+    if len(need) <= 100_000:
+        read_kwargs["filter"] = pads.field("doc_id").isin(need)
     sub = (
-        _read(sf_dir, ["doc_id", "text"])
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            **read_kwargs,
+        )
         .map_batches(FilterNeeded, batch_format="pyarrow",
                      concurrency=(1, 2), num_cpus=0.5)
         .map_batches(to_shingle_hashes, batch_format="pyarrow")
