@@ -103,6 +103,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_cpus=0.5,
         )
 
+    def pages_resize_stub(sf_dir: str):
+        import ray.data
+
+        from finance_sc_relations_ray.stages.multimodal import (
+            ResizeStubActor,
+        )
+
+        return ray.data.read_parquet(
+            _pages(sf_dir), columns=["url", "html"]
+        ).map_batches(
+            ResizeStubActor,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+            num_cpus=0.5,
+        )
+
+    def pages_frame_sample_stub(sf_dir: str):
+        import ray.data
+
+        from finance_sc_relations_ray.stages.multimodal import (
+            FrameSampleStubActor,
+        )
+
+        return ray.data.read_parquet(
+            _pages(sf_dir), columns=["url", "html"]
+        ).map_batches(
+            FrameSampleStubActor,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 2),
+            num_cpus=0.5,
+        )
+
     return {
         # relational operator suite (SURVEY.md §2.5-2.7 on neutral tables)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -160,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal binary-column plumbing (non-SQL)
         "pages_binary_meta": pages_binary_meta,
         "pages_decode_stub": pages_decode_stub,
+        "pages_resize_stub": pages_resize_stub,
+        "pages_frame_sample_stub": pages_frame_sample_stub,
     }
 
 

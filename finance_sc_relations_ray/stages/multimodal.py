@@ -76,3 +76,87 @@ class DecodeStubActor:
                 "feature": pa.array(feats, pa.list_(pa.float64(), 8)),
             }
         )
+
+
+class ResizeStubActor:
+    """Actor-pool resize stage for image payloads. Real codecs raise
+    (no image libraries in this container); the 'html' codec provides a
+    deterministic fake — truncate-or-pad the payload to ``target_bytes``
+    — so the Ray-side plumbing (actor signature, small-batch sizing for
+    wide rows, output schema with target dims) is real and tested. A
+    real implementation swaps ``_resize`` for PIL/cv2 and keeps
+    everything else."""
+
+    def __init__(self, codec: str = "html", target: tuple = (64, 64)):
+        if codec not in ("html",):
+            raise NotImplementedError(
+                f"codec {codec!r} requires image libraries not present "
+                "in this environment; plug a real resizer here"
+            )
+        self.codec = codec
+        self.target = target
+        self.target_bytes = target[0] * target[1]
+
+    def _resize(self, payload: bytes) -> bytes:
+        if len(payload) >= self.target_bytes:
+            return payload[: self.target_bytes]
+        return payload + b"\0" * (self.target_bytes - len(payload))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize(p) for p in batch["html"].to_pylist()]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "resized": pa.array(out, pa.binary()),
+                "width": pa.array([self.target[0]] * batch.num_rows, pa.int32()),
+                "height": pa.array([self.target[1]] * batch.num_rows, pa.int32()),
+            }
+        )
+
+
+class FrameSampleStubActor:
+    """Actor-pool frame-sampling stage for video payloads: emits one
+    output row per sampled frame (a flat_map-shaped batch transform —
+    the fan-out layout a real decoder needs). Real codecs raise; the
+    'html' codec deterministically chunks the payload into
+    ``frame_bytes`` pieces and keeps every ``stride``-th chunk."""
+
+    def __init__(
+        self,
+        codec: str = "html",
+        frame_bytes: int = 256,
+        stride: int = 4,
+        max_frames: int = 8,
+    ):
+        if codec not in ("html",):
+            raise NotImplementedError(
+                f"codec {codec!r} requires video libraries not present "
+                "in this environment; plug a real frame sampler here"
+            )
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, idxs, frames = [], [], []
+        for url, p in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist()
+        ):
+            n_chunks = max(1, len(p) // self.frame_bytes)
+            taken = 0
+            for ci in range(0, n_chunks, self.stride):
+                if taken >= self.max_frames:
+                    break
+                urls.append(url)
+                idxs.append(ci)
+                frames.append(
+                    p[ci * self.frame_bytes : (ci + 1) * self.frame_bytes]
+                )
+                taken += 1
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "frame_index": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
