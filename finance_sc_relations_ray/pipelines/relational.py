@@ -615,7 +615,7 @@ def events_range_join(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
 
 
 # -------------------------------------------- running-total window -----
-def events_user_cumsum(sf_dir: str) -> pd.DataFrame:
+def events_user_cumsum(sf_dir: str) -> "ray.data.Dataset":
     """Per-user running total of ``value`` ordered by ``ts`` — the
     ordered-window-function analog (SQL ``sum() OVER (PARTITION BY
     user ORDER BY ts)``). Distributed form: coarse user buckets via one
@@ -648,14 +648,13 @@ def events_user_cumsum(sf_dir: str) -> pd.DataFrame:
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
-    out = (
+    # returns the lazy Dataset: the result is per-EVENT (dataset-sized),
+    # so it must stream to its consumer, never materialize on the driver
+    return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(cumsum, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
-        .to_pandas()
-        .drop(columns=["bucket"], errors="ignore")
     )
-    return out.sort_values("event_id").reset_index(drop=True)
 
 
 # --------------------------------- bucket-join relational rollup --------
