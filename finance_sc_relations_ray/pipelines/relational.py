@@ -518,7 +518,7 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
 
 # ------------------------------------------------------- as-of join ----
-def events_asof_join(sf_dir: str) -> pd.DataFrame:
+def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
     """Backward as-of join (stages/joins.asof_join): each 'click' event
     is joined to the latest 'view' event of the SAME user at or before
     its timestamp (the session-attribution shape). Unmatched clicks are
@@ -557,13 +557,14 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
             "match_event_id": pa.int64(),
             "match_value": pa.float64(),
         },
-    ).to_pandas()
+    )
     # match_value passes through unmodified (no arithmetic) — no
-    # rounding, so engine and oracle compare bit-exact floats
-    return out.sort_values("event_id").reset_index(drop=True)
+    # rounding, so engine and oracle compare bit-exact floats; the
+    # per-click result is dataset-sized, so it streams (lazy Dataset)
+    return out
 
 
-def events_range_join(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
+def events_range_join(sf_dir: str, window_min: int = 10) -> "ray.data.Dataset":
     """Interval join (stages/joins.range_join): each 'click' event is
     joined to EVERY 'view' event of the same user within the preceding
     ``window_min`` minutes (inclusive) — the all-matches companion to
@@ -608,10 +609,8 @@ def events_range_join(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
             "match_event_id": pa.int64(),
             "match_value": pa.float64(),
         },
-    ).to_pandas()
-    return out.sort_values(
-        ["event_id", "match_event_id"]
-    ).reset_index(drop=True)
+    )
+    return out  # dataset-sized: streams
 
 
 # -------------------------------------------- running-total window -----
@@ -736,7 +735,7 @@ def approx_distinct_users(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame({"n_users_approx": [int(round(merged.estimate()))]})
 
 
-def events_asof_join_epoch(sf_dir: str) -> pd.DataFrame:
+def events_asof_join_epoch(sf_dir: str) -> "ray.data.Dataset":
     """``events_asof_join`` computed through the time-partitioned plan
     (stages/joins.asof_join_time_partitioned, 6-hour epochs): per-task
     memory bounded by epoch width instead of a user's full history.
@@ -781,11 +780,11 @@ def events_asof_join_epoch(sf_dir: str) -> pd.DataFrame:
             "match_value": pa.float64(),
         },
         epoch=datetime.timedelta(hours=6),
-    ).to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    )
+    return out  # dataset-sized: streams
 
 
-def events_range_join_epoch(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
+def events_range_join_epoch(sf_dir: str, window_min: int = 10) -> "ray.data.Dataset":
     """``events_range_join`` through the bounded-memory plan
     (stages/joins.range_join_time_partitioned, 1-hour epochs ≥ the
     10-minute window): same DuckDB BETWEEN oracle — the epoch plan must
@@ -831,7 +830,5 @@ def events_range_join_epoch(sf_dir: str, window_min: int = 10) -> pd.DataFrame:
             "match_value": pa.float64(),
         },
         epoch=datetime.timedelta(hours=1),
-    ).to_pandas()
-    return out.sort_values(
-        ["event_id", "match_event_id"]
-    ).reset_index(drop=True)
+    )
+    return out  # dataset-sized: streams
