@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats_bucket_join": R.segment_order_stats_bucket_join,
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
+        "redact_pii_documents": T.redact_pii_documents,
         "sentencize_documents": T.sentencize_documents,
         "token_counts": T.token_counts,
         "subword_token_counts": T.subword_token_counts,
@@ -404,6 +405,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(text, '[-\\[\\] ]+', ' ', 'g'), '{ws}')
                        AS clean_text
+            FROM documents
+        """,
+        "redact_pii_documents": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IP]', 'g'),
+                     '\+?\d[\d -]{7,}\d', '[PHONE]', 'g'
+                   ) AS redacted_text
             FROM documents
         """,
         "sentencize_documents": f"""

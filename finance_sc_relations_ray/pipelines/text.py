@@ -43,6 +43,35 @@ def clean_documents(sf_dir: str) -> "ray.data.Dataset":
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+# PII patterns, RE2-safe (no lookarounds/backrefs) so the Arrow kernel
+# and the DuckDB oracle replace the identical spans. Applied in a fixed
+# order; placeholders contain no pattern-matchable characters.
+_PII_RULES = (
+    # email before phone: an address's digits must not half-match
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d -]{7,}\d", "[PHONE]"),
+)
+
+
+def redact_pii_documents(sf_dir: str) -> "ray.data.Dataset":
+    """PII redaction (the C4/RefinedWeb-style scrub a training corpus
+    runs before anything else): emails, IPv4s and phone-shaped digit
+    runs become placeholder tokens. Fully vectorized — one Arrow RE2
+    ``replace_substring_regex`` per rule per batch; the DuckDB oracle
+    applies the same rules with ``regexp_replace(..., 'g')`` in the
+    same order, so redaction is exact."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        for pat, repl in _PII_RULES:
+            col = pc.replace_substring_regex(col, pat, repl)
+        return pa.table({"doc_id": batch["doc_id"], "redacted_text": col})
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- sentencize -----
 def sentencize_documents(sf_dir: str) -> "ray.data.Dataset":
     def f(batch: pa.Table) -> pa.Table:

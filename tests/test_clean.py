@@ -43,3 +43,37 @@ def test_extract_clean_byte_identical_per_url():
     pages = generate_pages(list(range(50)))
     for row in pages.to_pylist():
         assert extract_clean_page(row["html"]) == clean_text(row["text"]), row["url"]
+
+
+def test_redact_pii_planted_parity():
+    """Planted PII must actually redact (the sf tables may contain no
+    PII, which would let an identity transform pass the oracle) and the
+    Arrow-RE2 path must match DuckDB's regexp_replace exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from finance_sc_relations_ray.pipelines.text import _PII_RULES
+
+    texts = [
+        "contact john.doe+x@example.co.uk or call +1 555 123 4567 now",
+        "server at 192.168.1.100 logged 40 hits",
+        "no pii here at all",
+        "mixed: a@b.io, 10.0.0.1 and 0800 555 7777.",
+    ]
+    col = pa.array(texts)
+    for pat, repl in _PII_RULES:
+        col = pc.replace_substring_regex(col, pat, repl)
+    engine = col.to_pylist()
+    sql = r"""
+    SELECT regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+      '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') FROM (SELECT unnest(?) AS t)
+    """
+    oracle = [r[0] for r in duckdb.connect().execute(sql, [texts]).fetchall()]
+    assert engine == oracle
+    assert engine[0] == "contact [EMAIL] or call [PHONE] now"
+    assert engine[1] == "server at [IP] logged 40 hits"
+    assert engine[2] == texts[2]
+    assert engine[3] == "mixed: [EMAIL], [IP] and [PHONE]."
