@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
         "redact_pii_documents": T.redact_pii_documents,
+        "gopher_quality_documents": T.gopher_quality_documents,
         "sentencize_documents": T.sentencize_documents,
         "token_counts": T.token_counts,
         "subword_token_counts": T.subword_token_counts,
@@ -406,6 +407,35 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(text, '[-\\[\\] ]+', ' ', 'g'), '{ws}')
                        AS clean_text
             FROM documents
+        """,
+        "gopher_quality_documents": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS n_words,
+                       (len(text) - len(replace(text, '#', '')))
+                       + ((len(text) - len(replace(text, '...', ''))) // 3)
+                           AS n_sym,
+                       str_split(text, chr(10)) AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0
+                            THEN round(n_sym / n_words::DOUBLE, 6)
+                            ELSE 0.0 END AS symbol_word_ratio,
+                       round(len(list_filter(lines,
+                             x -> regexp_matches(x, '^[ \t]*[-*]')))
+                             / len(lines)::DOUBLE, 6) AS bullet_line_frac,
+                       round(len(list_filter(lines, x -> x LIKE '%...'))
+                             / len(lines)::DOUBLE, 6) AS ellipsis_line_frac
+                FROM base
+            )
+            SELECT doc_id, n_words, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac,
+                   (n_words BETWEEN 50 AND 100000)
+                   AND symbol_word_ratio <= 0.1
+                   AND bullet_line_frac <= 0.9
+                   AND ellipsis_line_frac <= 0.3 AS gopher_pass
+            FROM m
         """,
         "redact_pii_documents": r"""
             SELECT doc_id,

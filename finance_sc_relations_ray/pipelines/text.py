@@ -810,3 +810,57 @@ def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
         )
 
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def gopher_quality_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition/format quality rules (Rae et al. 2021,
+    §A1.1 — the standard webtext filter family next to the length/
+    punctuation signals in ``doc_quality``): symbol-to-word ratio,
+    bullet-line fraction, ellipsis-line fraction, word-count bounds,
+    and the combined pass flag. Ratios are computed with definitions a
+    DuckDB oracle reproduces exactly (see ``oracle_sql``)."""
+    import re as _re
+
+    from ..functions.rounding import round_half_away as _round
+
+    word_re = _re.compile(r"[^ \t\n\f\r]+")
+    bullet_re = _re.compile(r"^[ \t]*[-*]")
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        n_words_l, sym_l, bullet_l, ellip_l, ok_l = [], [], [], [], []
+        for text in batch["text"].to_pylist():
+            words = word_re.findall(text)
+            n_words = len(words)
+            n_sym = text.count("#") + text.count("...")
+            sym_ratio = (
+                float(_round(n_sym / n_words, 6)) if n_words else 0.0
+            )
+            lines = text.split("\n")
+            n_bullet = sum(1 for ln in lines if bullet_re.match(ln))
+            n_ellip = sum(1 for ln in lines if ln.endswith("..."))
+            bullet_frac = float(_round(n_bullet / len(lines), 6))
+            ellip_frac = float(_round(n_ellip / len(lines), 6))
+            ok = (
+                50 <= n_words <= 100_000
+                and sym_ratio <= 0.1
+                and bullet_frac <= 0.9
+                and ellip_frac <= 0.3
+            )
+            n_words_l.append(n_words)
+            sym_l.append(sym_ratio)
+            bullet_l.append(bullet_frac)
+            ellip_l.append(ellip_frac)
+            ok_l.append(ok)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_words": pa.array(n_words_l, pa.int64()),
+                "symbol_word_ratio": pa.array(sym_l, pa.float64()),
+                "bullet_line_frac": pa.array(bullet_l, pa.float64()),
+                "ellipsis_line_frac": pa.array(ellip_l, pa.float64()),
+                "gopher_pass": pa.array(ok_l, pa.bool_()),
+            }
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
