@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_documents": T.clean_documents,
         "redact_pii_documents": T.redact_pii_documents,
         "gopher_quality_documents": T.gopher_quality_documents,
+        "repetition_stats_documents": T.repetition_stats_documents,
         "sentencize_documents": T.sentencize_documents,
         "token_counts": T.token_counts,
         "subword_token_counts": T.subword_token_counts,
@@ -436,6 +437,24 @@ def oracle_sql() -> dict[str, str]:
                    AND bullet_line_frac <= 0.9
                    AND ellipsis_line_frac <= 0.3 AS gopher_pass
             FROM m
+        """,
+        "repetition_stats_documents": r"""
+            WITH base AS (
+                SELECT doc_id, str_split(text, chr(10)) AS lines
+                FROM documents
+            ), per_line AS (
+                SELECT doc_id, unnest(lines) AS line FROM base
+            ), modal AS (
+                SELECT doc_id, max(c) AS top_c FROM (
+                    SELECT doc_id, line, count(*) AS c
+                    FROM per_line GROUP BY doc_id, line
+                ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   round(1.0 - len(list_distinct(b.lines))
+                         / len(b.lines)::DOUBLE, 6) AS dup_line_frac,
+                   round(m.top_c / len(b.lines)::DOUBLE, 6) AS top_line_frac
+            FROM base b JOIN modal m ON b.doc_id = m.doc_id
         """,
         "redact_pii_documents": r"""
             SELECT doc_id,

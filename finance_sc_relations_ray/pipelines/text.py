@@ -864,3 +864,33 @@ def gopher_quality_documents(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition signals: fraction of lines that are
+    duplicates of an earlier line, and the share of lines taken by the
+    single most-repeated line — the cheap structural-repetition filter
+    next to ``gopher_quality_documents``'s format rules. Exact DuckDB
+    oracle (list_distinct + per-line mode via groupby)."""
+    from collections import Counter
+
+    from ..functions.rounding import round_half_away as _round
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        dup_l, top_l = [], []
+        for text in batch["text"].to_pylist():
+            lines = text.split("\n")
+            n = len(lines)
+            counts = Counter(lines)
+            dup_l.append(float(_round(1.0 - len(counts) / n, 6)))
+            top_l.append(float(_round(max(counts.values()) / n, 6)))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "dup_line_frac": pa.array(dup_l, pa.float64()),
+                "top_line_frac": pa.array(top_l, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
