@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": T.redact_pii_documents,
         "gopher_quality_documents": T.gopher_quality_documents,
         "repetition_stats_documents": T.repetition_stats_documents,
+        "decontaminate_documents": T.decontaminate_documents,
         "sentencize_documents": T.sentencize_documents,
         "token_counts": T.token_counts,
         "subword_token_counts": T.subword_token_counts,
@@ -437,6 +438,28 @@ def oracle_sql() -> dict[str, str]:
                    AND bullet_line_frac <= 0.9
                    AND ellipsis_line_frac <= 0.3 AS gopher_pass
             FROM m
+        """,
+        "decontaminate_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       [array_to_string(list_slice(t, i, i + 4), ' ')
+                        FOR i IN range(1, greatest(len(t) - 4, 0) + 1)]
+                           AS grams
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT unnest(grams) AS gram
+                FROM g WHERE doc_id < 20
+            ), bl AS (
+                SELECT list(gram) AS bgrams FROM bench
+            )
+            SELECT g.doc_id,
+                   len(list_intersect(g.grams, bl.bgrams)) > 0
+                       AS contaminated
+            FROM g, bl WHERE g.doc_id >= 20
         """,
         "repetition_stats_documents": r"""
             WITH base AS (

@@ -894,3 +894,65 @@ def repetition_stats_documents(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def decontaminate_documents(
+    sf_dir: str, bench_max_doc_id: int = 20, n: int = 5
+) -> "ray.data.Dataset":
+    """Benchmark decontamination (the GPT-3/Llama eval-overlap filter):
+    flag every corpus document sharing ANY lowercase word ``n``-gram
+    with the benchmark set (here: docs with ``doc_id <
+    bench_max_doc_id`` stand in for a held-out eval set). The benchmark
+    grams are broadcast once via ``ray.put`` — benchmark sets are small
+    by definition, so the broadcast side is bounded at any corpus
+    scale; each batch checks membership vectorized-per-doc. DuckDB
+    oracle builds the identical gram sets with list comprehensions."""
+    import pyarrow.parquet as pq_
+
+    from ..functions.textops import tokens_lower
+
+    def grams_of(text: str) -> set:
+        toks = tokens_lower(text)
+        if len(toks) < n:
+            return set()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_tbl = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", bench_max_doc_id)],
+    )
+    bench: set = set()
+    for t in bench_tbl["text"].to_pylist():
+        bench |= grams_of(t)
+    bench_ref = ray.put(bench)
+
+    class Checker:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flags = [
+                not self.bench.isdisjoint(grams_of(t))
+                for t in batch["text"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "contaminated": pa.array(flags, pa.bool_()),
+                }
+            )
+
+    import pyarrow.dataset as pads
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id") >= bench_max_doc_id,
+        )
+        .map_batches(Checker, batch_format="pyarrow",
+                     concurrency=(1, 4), num_cpus=0.5)
+    )
