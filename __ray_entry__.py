@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_quality_documents": T.filter_quality_documents,
         "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "dup_clusters": T.dup_clusters,
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
         "simhash_documents": T.simhash_documents,
         # training-data prep operators
@@ -680,6 +681,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_id_a
             JOIN cnt cb ON cb.doc_id = doc_id_b
             WHERE i / (ca.n + cb.n - i)::DOUBLE >= 0.8
+        """,
+        "dup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                    list_distinct(
+                        CASE WHEN len(t) >= 3
+                             THEN list_transform(range(1, len(t) - 1),
+                                                 i -> array_to_string(t[i:i+2], ' '))
+                             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                             ELSE [] END
+                    ) AS s
+                FROM toks
+            ), e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+            inter AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       count(*) AS i
+                FROM e a JOIN e b ON a.g = b.g AND b.doc_id > a.doc_id
+                GROUP BY 1, 2
+            ), prs AS (
+                SELECT doc_id_a, doc_id_b
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = doc_id_a
+                JOIN cnt cb ON cb.doc_id = doc_id_b
+                WHERE i / (ca.n + cb.n - i)::DOUBLE >= 0.8
+            ), edges AS (
+                SELECT doc_id_a AS s, doc_id_b AS d FROM prs
+                UNION ALL
+                SELECT doc_id_b, doc_id_a FROM prs
+            ), reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT ed.d, r.label FROM reach r JOIN edges ed ON ed.s = r.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id,
+                   CAST(node = min(label) AS BIGINT) AS is_canonical
+            FROM reach GROUP BY node
         """,
         "knn_cosine": """
             WITH q AS (

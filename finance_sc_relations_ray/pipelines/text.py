@@ -613,6 +613,24 @@ def ngram_jaccard_pairs(
     sf_dir: str, threshold: float = 0.8, n: int = 3,
     max_doc_freq: int | None = None,
 ) -> pd.DataFrame:
+    """Driver-facing wrapper over `_ngram_jaccard_pairs_ds` — collects
+    the (small) pair result to pandas and sorts it for the oracle
+    compare. The Dataset core stays available to downstream operators
+    (`dup_clusters`) that must keep the pairs distributed."""
+    out = _ngram_jaccard_pairs_ds(sf_dir, threshold, n, max_doc_freq).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"doc_id_a": pd.Series([], dtype="int64"),
+             "doc_id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+def _ngram_jaccard_pairs_ds(
+    sf_dir: str, threshold: float = 0.8, n: int = 3,
+    max_doc_freq: int | None = None,
+) -> "ray.data.Dataset":
     """EXACT word-n-gram Jaccard near-dup pairs, fully distributed:
     shingle-explode → co-partitioned pair counting (|A∩B|) → per-doc
     shingle counts attached via the co-partitioned bucket join
@@ -754,14 +772,162 @@ def ngram_jaccard_pairs(
             }
         )
 
-    out = j2.map_batches(finalize, batch_format="pyarrow").to_pandas()
-    if out.empty:
-        out = pd.DataFrame(
-            {"doc_id_a": pd.Series([], dtype="int64"),
-             "doc_id_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
+    return j2.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------- near-dup connected components ----
+def dup_clusters(
+    sf_dir: str, threshold: float = 0.8, n: int = 3, max_iter: int = 30,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    n-gram-Jaccard pair graph, then a cluster id per document
+    (``cluster_id`` = min doc_id of the component; ``is_canonical`` = 1
+    for the kept representative). This is the step real dedup pipelines
+    need beyond pairs — remove every member of a dup cluster except one
+    (the reference dedups triples the same keep-one-representative way,
+    ``src/relation_extraction/reporter.py``'s longest-name pick).
+
+    Distributed algorithm: hash-to-min label propagation. ``labels``
+    starts as (node, node) over the nodes that appear in any dup pair;
+    each round every node proposes its current label to its neighbors
+    and adopts the minimum proposal (monotone non-increasing, so it
+    converges in <= component-diameter rounds — near-dup components are
+    shallow in practice; a `max_iter` guard raises rather than emitting
+    a half-merged clustering). Each round is one co-partitioned
+    `bucket_lookup_join` (edges x labels) plus one bucketed per-node
+    min — both bounded per-reducer; nothing ever lands on the driver.
+    For adversarially deep graphs (long chains) the alternating
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") drops rounds to O(log^2 n);
+    propagation is chosen here because dedup graphs are
+    diameter-bounded by transitive text similarity.
+
+    Docs in no pair are singleton clusters of themselves — they are
+    attached at the end via a left bucket join, never iterated.
+    """
+    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+
+    pairs = _ngram_jaccard_pairs_ds(sf_dir, threshold, n, None)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
         )
-    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+    # materialized once: re-read from the object store every round
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    docs = _read(sf_dir, ["doc_id"])
+
+    if edges.count() == 0:
+        out = docs.to_pandas()
+        out["cluster_id"] = out["doc_id"]
+        out["is_canonical"] = np.int64(1)
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        # per-batch unique; cross-batch duplicates are harmless — the
+        # first round's per-node min collapses them (same label=node)
+        s = np.unique(batch["src"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"node": pa.array(s, pa.int64()), "label": pa.array(s, pa.int64())}
+        )
+
+    labels = edges.map_batches(node_rows, batch_format="pyarrow").materialize()
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def msg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "cand": batch["cand"],
+                "old": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def old_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch["node"], "cand": batch["label"], "old": batch["label"]}
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = ((node * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("b", pa.array(bk, pa.int32()))
+
+    def merge_min(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node", as_index=False).agg(
+            label=("cand", "min"), old=("old", "min")
+        )
+        # `old` is never NaN per node: every message target appears in
+        # `labels` (edges are bidirectional, so every dst is a src)
+        return pd.DataFrame(
+            {
+                "node": agg["node"].astype("int64"),
+                "label": agg["label"].astype("int64"),
+                "changed": (agg["label"] < agg["old"]).astype("int64"),
+            }
+        )
+
+    for _ in range(max_iter):
+        msgs = bucket_lookup_join(
+            edges, labels, on="src", right_key="node",
+            payload={"label": "cand"}, left_schema=edge_schema,
+            payload_types={"cand": pa.int64()}, num_buckets=num_buckets,
+        )
+        combined = msgs.map_batches(msg_rows, batch_format="pyarrow").union(
+            labels.map_batches(old_rows, batch_format="pyarrow")
+        )
+        new_labels = (
+            combined.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(
+                merge_min, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+            )
+            .materialize()
+        )
+        n_changed = new_labels.sum("changed")
+        labels = new_labels.select_columns(["node", "label"]).materialize()
+        if not n_changed:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters: no convergence after {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+
+    # singletons: left-join every doc against the converged labels
+    joined = bucket_lookup_join(
+        docs, labels, on="doc_id", right_key="node",
+        payload={"label": "cluster_id"},
+        left_schema=pa.schema([("doc_id", pa.int64())]),
+        payload_types={"cluster_id": pa.int64()}, num_buckets=num_buckets,
+        how="left",
+    )
+
+    def finalize_clusters(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = pc.coalesce(batch["cluster_id"], batch["doc_id"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cluster_id": cid,
+                "is_canonical": pc.cast(
+                    pc.equal(batch["doc_id"], cid), pa.int64()
+                ),
+            }
+        )
+
+    out = joined.map_batches(finalize_clusters, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------- SimHash -----

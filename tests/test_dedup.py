@@ -175,3 +175,45 @@ def test_minhash_degenerate_bucket_star_cap(tmp_path):
     assert (out["doc_id_a"] == 0).all()
     assert sorted(out["doc_id_b"]) == list(range(1, 31))
     assert (out["jaccard"] == 1.0).all()  # exact verify still ran
+
+
+def test_dup_clusters_transitive_chain(tmp_path):
+    """Connected components must merge A~B~C into ONE cluster even when
+    A and C are themselves below the similarity threshold (the property
+    pairs alone cannot express), leave unrelated docs as singletons,
+    and pick min-doc_id as the canonical representative."""
+    from finance_sc_relations_ray.pipelines.text import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))           # 38 shingles
+    texts = [
+        base,                                             # 0: A
+        base + " ta tb tc td",                            # 1: B (~0.905 vs A)
+        base + " ta tb tc td te tf tg th",                # 2: C (~0.913 vs B,
+                                                          #    ~0.826 vs A)
+        "unrelated material entirely about other things " * 8,  # 3
+        "second unrelated body of text on different topics " * 8,  # 4
+        "second unrelated body of text on different topics " * 8,  # 5 exact dup of 4
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"), row_group_size=2)
+
+    # fixture self-check at threshold 0.9: the chain's ends are NOT a
+    # pair — only components can connect them
+    pairs = ngram_jaccard_pairs(str(tmp_path), threshold=0.9)
+    pairset = set(zip(pairs["doc_id_a"], pairs["doc_id_b"]))
+    assert (0, 1) in pairset and (1, 2) in pairset and (4, 5) in pairset
+    assert (0, 2) not in pairset
+
+    out = dup_clusters(str(tmp_path), threshold=0.9)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    canon = dict(zip(out["doc_id"], out["is_canonical"]))
+    assert canon == {0: 1, 1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
