@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "dup_clusters": T.dup_clusters,
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
+        "unigram_logprob_documents": T.unigram_logprob_documents,
         "simhash_documents": T.simhash_documents,
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
@@ -681,6 +682,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_id_a
             JOIN cnt cb ON cb.doc_id = doc_id_b
             WHERE i / (ca.n + cb.n - i)::DOUBLE >= 0.8
+        """,
+        "unigram_logprob_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                FROM documents
+            ), uni AS (
+                SELECT tok, count(*) AS c FROM t GROUP BY tok
+            ), tot AS (SELECT count(*) AS n FROM t),
+            li AS (
+                SELECT tok,
+                       CAST(floor(log10(c::DOUBLE / tot.n) * 1000000 + 0.5)
+                            AS BIGINT) AS v
+                FROM uni, tot
+            )
+            SELECT t.doc_id,
+                   CAST(-((-2 * sum(li.v) + count(*)) // (2 * count(*)))
+                        AS BIGINT) AS micro_logprob
+            FROM t JOIN li USING (tok)
+            GROUP BY t.doc_id
         """,
         "dup_clusters": r"""
             WITH RECURSIVE toks AS (

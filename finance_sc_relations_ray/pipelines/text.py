@@ -608,6 +608,122 @@ def heavy_hitter_tokens(sf_dir: str, min_fraction: float = 0.005) -> pd.DataFram
     return out.sort_values("tok").reset_index(drop=True)
 
 
+# ------------------------------------- unigram log-prob (perplexity) ----
+def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style perplexity-proxy quality score: per-document mean
+    log10 probability of its tokens under the corpus-wide unigram MLE
+    distribution (the in-environment stand-in for a KenLM 5-gram LM —
+    the standard web-corpus quality gate; low scores = rare-token noise,
+    boilerplate scores high).
+
+    Distributed plan (vocab is web-scale, so NOTHING is broadcast):
+    per-(doc, token) counts from one explode pass (combiner — one row
+    per doc x distinct token) → unigram table via combiner-first
+    groupby(token) → per-token micro-log-prob quantized to int64
+    (``floor(log10(c/N)*1e6 + 0.5)``) so the per-doc accumulation is an
+    INTEGER sum — exactly order-independent across the token-bucketed
+    join exchange, which makes the result bit-stable run-to-run and
+    against the DuckDB oracle — → co-partitioned `bucket_lookup_join`
+    back onto the doc-token rows → combiner-first per-doc (sum, count)
+    → integer mean (output ``micro_logprob`` = 1e-6 units of log10
+    prob; stays integer end-to-end so no float-rounding divergence).
+    Only the scalar corpus token total N touches the driver.
+    Docs with zero tokens have no defined score and are omitted (they
+    never survive a length filter anyway)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..stages.joins import bucket_lookup_join
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        doc_ids, toks, ks = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = Counter(textops.tokens_lower(text))
+            for t in sorted(c):
+                doc_ids.append(doc_id)
+                toks.append(t)
+                ks.append(c[t])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tok": pa.array(toks, pa.string()),
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    toks = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(explode_counts, batch_format="pyarrow")
+        .materialize()  # consumed by the unigram build AND the join
+    )
+
+    def partial_tok(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"tok": batch["tok"].to_pylist(), "c": batch["k"].to_numpy()}
+        )
+        g = df.groupby("tok", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uni = (
+        toks.map_batches(partial_tok, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(_Sum("c", alias_name="c"))
+        .materialize()
+    )
+    n_total = uni.sum("c")
+
+    def to_li(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        li = np.floor(np.log10(c / float(n_total)) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"tok": batch["tok"], "li": pa.array(li, pa.int64())})
+
+    uni_li = uni.map_batches(to_li, batch_format="pyarrow")
+
+    joined = bucket_lookup_join(
+        toks, uni_li, on="tok", right_key="tok",
+        payload={"li": "li"},
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("tok", pa.string()), ("k", pa.int64())]
+        ),
+        payload_types={"li": pa.int64()}, num_buckets=64,
+    )
+
+    def partial_doc(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        li = batch["li"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "s": k * li, "m": k}
+        )
+        g = df.groupby("doc_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_doc = (
+        joined.map_batches(partial_doc, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Sum("s", alias_name="s"), _Sum("m", alias_name="m"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # exact integer round-half of mean micro-log-prob: all-positive
+        # floor division so numpy (floor) and DuckDB (trunc) agree —
+        # float rounding at the 1e-6 boundary bit us in testing
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        m = batch["m"].to_numpy(zero_copy_only=False)
+        t = -s  # log-probs are <= 0, so t >= 0
+        micro = -((2 * t + m) // (2 * m))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "micro_logprob": pa.array(micro, pa.int64()),
+            }
+        )
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow")
+
+
 # ------------------------------------------------ exact n-gram Jaccard --
 def ngram_jaccard_pairs(
     sf_dir: str, threshold: float = 0.8, n: int = 3,

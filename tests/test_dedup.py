@@ -217,3 +217,36 @@ def test_dup_clusters_transitive_chain(tmp_path):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
     canon = dict(zip(out["doc_id"], out["is_canonical"]))
     assert canon == {0: 1, 1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_unigram_logprob_ranks_common_above_rare(tmp_path):
+    """Semantic check for the perplexity-proxy score: a document made of
+    corpus-common words must score strictly higher (less negative) than
+    one made of corpus-unique words, and a doc's score is the exact
+    integer mean of its tokens' quantized unigram log-probs."""
+    import math
+
+    from finance_sc_relations_ray.pipelines.text import (
+        unigram_logprob_documents,
+    )
+
+    texts = [
+        "alpha beta alpha beta alpha beta",   # 0: common tokens
+        "alpha beta gamma delta",             # 1: mixed
+        "zeta eta theta iota",                # 2: all corpus-unique
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = unigram_logprob_documents(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["micro_logprob"]))
+    assert got[0] > got[1] > got[2]
+
+    # exact-value check for doc 0: alpha=4/14, beta=4/14 of all tokens
+    li = math.floor(math.log10(4 / 14) * 1e6 + 0.5)
+    assert got[0] == -((-2 * 6 * li + 6) // 12)
