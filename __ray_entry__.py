@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_documents": T.lang_id_documents,
         "fingerprint_documents": T.fingerprint_documents,
         "dedup_exact": T.dedup_exact,
+        "span_dedup_documents": T.span_dedup_documents,
         "filter_quality_documents": T.filter_quality_documents,
         "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
@@ -682,6 +683,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc_id_a
             JOIN cnt cb ON cb.doc_id = doc_id_b
             WHERE i / (ca.n + cb.n - i)::DOUBLE >= 0.8
+        """,
+        "span_dedup_documents": f"""
+            WITH l AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       unnest(list_zip(sents, range(len(sents)))) AS p
+                FROM l
+            ), e AS (
+                SELECT doc_id, trim(p[1], '{ws}') AS sent, p[2] AS i
+                FROM z
+            ), s AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                           AS idx,
+                       sent
+                FROM e WHERE sent <> ''
+            ), sp AS (
+                SELECT a.doc_id, a.idx AS pos,
+                       a.sent || ' ' || b.sent || ' ' || c.sent AS span
+                FROM s a
+                JOIN s b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+                JOIN s c ON c.doc_id = a.doc_id AND c.idx = a.idx + 2
+            ), ranked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY span
+                                          ORDER BY doc_id, pos) AS rn
+                FROM sp
+            ), removed AS (
+                SELECT DISTINCT doc_id, pos + t.range AS idx
+                FROM ranked CROSS JOIN range(3) t
+                WHERE rn > 1
+            ), kept AS (
+                SELECT s.doc_id, s.idx, s.sent
+                FROM s
+                LEFT JOIN removed rm
+                    ON rm.doc_id = s.doc_id AND rm.idx = s.idx
+                WHERE rm.doc_id IS NULL
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.sent, ' ' ORDER BY k.idx), '')
+                       AS text
+            FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+            GROUP BY d.doc_id
         """,
         "unigram_logprob_documents": r"""
             WITH t AS (

@@ -724,6 +724,169 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
     return per_doc.map_batches(finalize, batch_format="pyarrow")
 
 
+# ------------------------------------- C4 span-level exact dedup -------
+def span_dedup_documents(
+    sf_dir: str, n_sent: int = 3, num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once in the data set"): every sliding window of ``n_sent``
+    consecutive sentences is hashed corpus-wide; all but the first
+    occurrence (ordered by (doc_id, position)) have their sentences
+    removed, and each document is rebuilt from its surviving sentences.
+    Returns (doc_id, text) for every document (possibly empty text).
+
+    Distributed plan: span occurrences (doc_id, pos, 128-bit md5 of the
+    span — two int64 columns, so grouping can't collide at 10^14-span
+    scale the way a single 64-bit key would) → per-batch combiner
+    (within a batch, only the min-(doc_id,pos) occurrence of a span
+    goes to the global exchange as a candidate; occurrences it already
+    beats are emitted as final losers immediately — a local loser loses
+    globally too, so the all-to-all moves at most one row per
+    span x batch) → global per-span min among candidates → loser
+    positions explode to covered sentence indices → per-doc removal
+    lists → left bucket join back onto documents → re-sentencize and
+    rebuild (sentences re-derived in the final map, so sentence TEXT
+    never crosses an exchange — only (doc_id, idx) pairs do).
+    The DuckDB oracle replicates it with window functions over the
+    sentencize CTE (n_sent pinned to 3 there)."""
+    import hashlib
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+
+    def span_occurrences(batch: pa.Table) -> pa.Table:
+        doc_ids, poss, h1s, h2s = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            sents = textops.sentencize(text)
+            for i in range(len(sents) - n_sent + 1):
+                span = " ".join(sents[i : i + n_sent])
+                d = hashlib.md5(span.encode("utf-8")).digest()
+                doc_ids.append(doc_id)
+                poss.append(i)
+                h1s.append(int.from_bytes(d[:8], "big", signed=True))
+                h2s.append(int.from_bytes(d[8:], "big", signed=True))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+                "h1": pa.array(h1s, pa.int64()),
+                "h2": pa.array(h2s, pa.int64()),
+            }
+        )
+
+    def local_reduce(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["h1", "h2", "doc_id", "pos"])
+        first = ~df.duplicated(["h1", "h2"], keep="first")
+        df["is_cand"] = first.astype("int8")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    occ = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(span_occurrences, batch_format="pyarrow")
+        .map_batches(local_reduce, batch_format="pyarrow")
+        .materialize()
+    )
+
+    local_losers = occ.filter(
+        expr="is_cand == 0"
+    ).select_columns(["doc_id", "pos"])
+
+    def add_span_bucket(batch: pa.Table) -> pa.Table:
+        h = batch["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = ((h * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("b", pa.array(bk, pa.int32()))
+
+    def global_losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id", "pos"])
+        losers = g[g.duplicated(["h1", "h2"], keep="first")]
+        return losers[["doc_id", "pos"]].reset_index(drop=True)
+
+    dup_losers = (
+        occ.filter(expr="is_cand == 1")
+        .map_batches(add_span_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(
+            global_losers, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
+    )
+
+    def explode_removed(batch: pa.Table) -> pa.Table:
+        doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_sent)
+        pos = np.repeat(batch["pos"].to_numpy(zero_copy_only=False), n_sent)
+        off = np.tile(np.arange(n_sent, dtype=np.int64), batch.num_rows)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "idx": pa.array(pos + off, pa.int64()),
+            }
+        )
+
+    removed = local_losers.union(dup_losers).map_batches(
+        explode_removed, batch_format="pyarrow"
+    )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = ((d * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("b", pa.array(bk, pa.int32()))
+
+    def to_removal_lists(g: pd.DataFrame) -> pa.Table:
+        # build the list column as typed Arrow directly — a pandas
+        # object column of lists gets re-encoded by Ray as a ragged
+        # tensor extension type (engine hazard #3, stages/joins.py)
+        gg = g.groupby("doc_id")["idx"].apply(
+            lambda s: sorted(set(int(x) for x in s))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(gg.index.to_numpy(), pa.int64()),
+                "removed": pa.array(gg.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    removal_lists = (
+        removed.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(
+            to_removal_lists, batch_format="pandas",
+            num_cpus=NO_FUSE_NUM_CPUS,
+        )
+    )
+
+    joined = bucket_lookup_join(
+        _read(sf_dir, ["doc_id", "text"]), removal_lists,
+        on="doc_id", right_key="doc_id",
+        payload={"removed": "removed"},
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        payload_types={"removed": pa.list_(pa.int64())},
+        num_buckets=num_buckets, how="left",
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts = []
+        for text, removed_idx in zip(
+            batch["text"].to_pylist(), batch["removed"].to_pylist()
+        ):
+            if not removed_idx:
+                sents = textops.sentencize(text)
+                texts.append(" ".join(sents))
+                continue
+            drop = set(removed_idx)
+            sents = textops.sentencize(text)
+            texts.append(
+                " ".join(s for i, s in enumerate(sents) if i not in drop)
+            )
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())})
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 # ------------------------------------------------ exact n-gram Jaccard --
 def ngram_jaccard_pairs(
     sf_dir: str, threshold: float = 0.8, n: int = 3,

@@ -250,3 +250,33 @@ def test_unigram_logprob_ranks_common_above_rare(tmp_path):
     # exact-value check for doc 0: alpha=4/14, beta=4/14 of all tokens
     li = math.floor(math.log10(4 / 14) * 1e6 + 0.5)
     assert got[0] == -((-2 * 6 * li + 6) // 12)
+
+
+def test_span_dedup_removes_later_copies(tmp_path):
+    """C4 span dedup: a 3-sentence block repeated in a later document is
+    removed from the later doc only; unique content survives; docs are
+    rebuilt from their surviving sentences in order."""
+    from finance_sc_relations_ray.pipelines.text import span_dedup_documents
+
+    block = "First shared sentence. Second shared sentence. Third shared sentence."
+    texts = [
+        f"Intro unique to zero. {block} Tail unique to zero.",
+        f"{block} Something else entirely here.",     # later copy -> cut
+        "No duplicates in this one. Just two sentences.",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"), row_group_size=1)
+
+    out = span_dedup_documents(str(tmp_path)).to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got[0] == (
+        "Intro unique to zero. First shared sentence. "
+        "Second shared sentence. Third shared sentence. Tail unique to zero."
+    )
+    assert got[1] == "Something else entirely here."
+    assert got[2] == "No duplicates in this one. Just two sentences."
