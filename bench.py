@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_dup_pairs",
     "ngram_jaccard_pairs",
+    # dup_clusters is oracle-gated but not benched: its dominant cost
+    # is the same pair DAG ngram_jaccard_pairs already times
+    "span_dedup_documents",
+    "unigram_logprob_documents",
     "simhash_documents",
     "knn_cosine",
     "token_counts",

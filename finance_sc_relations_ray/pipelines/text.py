@@ -1103,11 +1103,21 @@ def dup_clusters(
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     docs = _read(sf_dir, ["doc_id"])
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         out = docs.to_pandas()
         out["cluster_id"] = out["doc_id"]
         out["is_canonical"] = np.int64(1)
         return out.sort_values("doc_id").reset_index(drop=True)
+
+    # compact the iteration working set: the pair DAG leaves hundreds
+    # of near-empty blocks, and each propagation round's sort exchange
+    # multiplies them (measured 576 -> 1344 blocks and a 67 s -> 405 s
+    # round at sf0.1 before this). Blocks and bucket count must scale
+    # with DATA (one bucket per ~100k edges, capped at num_buckets),
+    # not with upstream task count.
+    k = int(min(num_buckets, n_edges // 100_000 + 1))
+    edges = edges.repartition(k).materialize()
 
     def node_rows(batch: pa.Table) -> pa.Table:
         # per-batch unique; cross-batch duplicates are harmless — the
@@ -1136,9 +1146,7 @@ def dup_clusters(
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         node = batch["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bk = ((node * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(
-            np.int32
-        )
+        bk = ((node * np.uint64(2654435761)) % np.uint64(k)).astype(np.int32)
         return batch.append_column("b", pa.array(bk, pa.int32()))
 
     def merge_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -1159,7 +1167,7 @@ def dup_clusters(
         msgs = bucket_lookup_join(
             edges, labels, on="src", right_key="node",
             payload={"label": "cand"}, left_schema=edge_schema,
-            payload_types={"cand": pa.int64()}, num_buckets=num_buckets,
+            payload_types={"cand": pa.int64()}, num_buckets=k,
         )
         combined = msgs.map_batches(msg_rows, batch_format="pyarrow").union(
             labels.map_batches(old_rows, batch_format="pyarrow")
@@ -1173,7 +1181,10 @@ def dup_clusters(
             .materialize()
         )
         n_changed = new_labels.sum("changed")
-        labels = new_labels.select_columns(["node", "label"]).materialize()
+        # lazy projection over the materialized blocks — the next
+        # round's join executes it; a third executor launch per round
+        # just to strip a column was pure overhead
+        labels = new_labels.select_columns(["node", "label"])
         if not n_changed:
             break
     else:
