@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
         "unigram_logprob_documents": T.unigram_logprob_documents,
         "simhash_documents": T.simhash_documents,
+        "cap_per_source": T.cap_per_source,
+        "pack_token_offsets": T.pack_token_offsets,
+        "resample_by_source": T.resample_by_source,
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
         "token_length_quantiles": M.token_length_quantiles,
@@ -623,6 +626,48 @@ def oracle_sql() -> dict[str, str]:
                                          ELSE 0 END)::BIGINT,
                             0) AS simhash
             FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
+        "pack_token_offsets": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS nt
+                FROM documents
+            ), c AS (
+                SELECT doc_id, nt,
+                       coalesce(sum(nt) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ), 0) AS st
+                FROM t
+            )
+            SELECT doc_id,
+                   nt AS n_tokens,
+                   st::BIGINT AS start_tok,
+                   (st // 512)::BIGINT AS first_chunk,
+                   (CASE WHEN nt = 0 THEN 0
+                         ELSE (st + nt - 1) // 512 - st // 512 + 1
+                    END)::BIGINT AS n_chunks
+            FROM c
+        """,
+        "resample_by_source": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(
+                       md5('mix-42|' || doc_id::VARCHAR), 1, 8
+                   ))::UBIGINT
+                  < (CASE WHEN right(source, 1) BETWEEN '0' AND '9'
+                          THEN (right(source, 1)::INT + 1) / 10.0
+                          ELSE 1.0 END) * 4294967296
         """,
         "hash_split_documents": """
             SELECT doc_id,

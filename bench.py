@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "span_dedup_documents",
     "unigram_logprob_documents",
     "simhash_documents",
+    "cap_per_source",
+    "pack_token_offsets",
     "knn_cosine",
     "token_counts",
     "events_asof_join",

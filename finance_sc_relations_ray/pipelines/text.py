@@ -1412,3 +1412,169 @@ def decontaminate_documents(
         .map_batches(Checker, batch_format="pyarrow",
                      concurrency=(1, 4), num_cpus=0.5)
     )
+
+
+# ------------------------------------------- per-source document cap ----
+def cap_per_source(sf_dir: str, n: int = 10) -> pd.DataFrame:
+    """Per-domain contribution cap (the Common-Crawl curation rule that
+    no single host dominates the corpus): keep the ``n`` longest
+    documents per ``source`` (``n_chars`` stands in for any quality
+    score), ties broken by ``doc_id``. Combiner-first so key skew
+    cannot blow up the exchange: each batch first reduces to its LOCAL
+    top-``n`` per source, so a mega-host (the Apple/Samsung analog of
+    the KG link stage) contributes at most ``n × n_batches`` rows to
+    the shuffle instead of its full document count, and every reducer
+    sees bounded input regardless of skew."""
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(n), preserve_index=False
+        )
+
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(n)
+        )
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    out = (
+        _read(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(local_cap, batch_format="pyarrow")
+        .groupby("source")
+        # whole-group semantics: head(n) over a PARTIAL group would
+        # over-keep — num_cpus blocks map-op fusion (stages/joins.py)
+        .map_groups(final_cap, batch_format="pandas",
+                    num_cpus=NO_FUSE_NUM_CPUS)
+        .to_pandas()
+    )
+    return (
+        out[["doc_id", "source", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+# --------------------------------------- token-offset sequence packing --
+def pack_token_offsets(
+    sf_dir: str, seq_len: int = 512, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Training-export packing layout (the GPT-style concat-and-chunk):
+    documents are concatenated in ``doc_id`` order and cut into fixed
+    ``seq_len``-token blocks; per document emit its global token offset
+    and the chunk range it lands in. The global EXCLUSIVE prefix sum is
+    computed distributed, never on the driver: (1) one vectorized pass
+    counts tokens per doc (RE2 ``\\S+``, same kernel as
+    ``token_counts``); (2) docs bucket by ``doc_id`` range so bucket
+    order equals document order; (3) per-bucket token totals — one row
+    per bucket — reduce to a tiny base-offset map shipped in the group
+    fn's closure; (4) each bucket sorts locally and cumsums. The
+    shuffle moves one 3-int row per document (never text), and no
+    stage materializes more than ``num_buckets`` rows on the driver."""
+    import pyarrow.compute as pc
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(batch["text"], _TOKEN_PAT)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": ntok.cast(pa.int64())}
+        )
+
+    counted = (
+        _read(sf_dir, ["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .materialize()
+    )
+    lo = counted.min("doc_id")
+    hi = counted.max("doc_id")
+    span = max(1, (hi - lo) // num_buckets + 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (
+            (batch["doc_id"].to_numpy(zero_copy_only=False) - lo) // span
+        ).astype(np.int32)
+        return batch.append_column("b", pa.array(b, pa.int32()))
+
+    bucketed = counted.map_batches(add_bucket, batch_format="pyarrow")
+
+    totals = (
+        bucketed.groupby("b")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+        .sort_values("b")
+    )
+    base: dict = {}
+    acc = 0
+    for _, r in totals.iterrows():
+        base[int(r["b"])] = acc
+        acc += int(r["tot"])
+
+    def bucket_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        nt = g["n_tokens"].to_numpy(np.int64)
+        start = base[int(g["b"].iloc[0])] + np.cumsum(nt) - nt
+        first = start // seq_len
+        last = np.where(nt > 0, (start + nt - 1) // seq_len, first)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": nt,
+                "start_tok": start.astype(np.int64),
+                "first_chunk": first.astype(np.int64),
+                "n_chunks": np.where(nt > 0, last - first + 1, 0).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    out = (
+        bucketed.groupby("b")
+        # whole-group semantics: a cumsum over a PARTIAL bucket would
+        # drop earlier docs' tokens from the offset — num_cpus blocks
+        # map-op fusion (stages/joins.py NO_FUSE_NUM_CPUS rationale)
+        .map_groups(bucket_offsets, batch_format="pandas",
+                    num_cpus=NO_FUSE_NUM_CPUS)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------- hash-based domain mixing -----
+def resample_by_source(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixing resample (the DoReMi/data-mixture curation step):
+    down-sample each ``source`` to a target weight with a STATELESS
+    keep decision — a document survives iff the md5 fraction of
+    ``mix-42|doc_id`` falls below its source's weight. Pure function of
+    the row: no broadcast sampling state, no shuffle, no dependence on
+    block boundaries, and the same doc survives in every rerun and at
+    every parallelism (the property reservoir/random sampling lacks).
+    Default weight rule (SQL-expressible so the oracle is exact):
+    sources ending in digit ``d`` keep fraction ``(d+1)/10`` — stand-in
+    for a real per-domain mixture table, which at scale ships the same
+    way (a pure row function or a tiny broadcast dict)."""
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        mask = []
+        for d, s in zip(ids, srcs):
+            tail = s[-1] if s and s[-1].isdigit() else None
+            w = (int(tail) + 1) / 10.0 if tail is not None else 1.0
+            h = int(
+                hashlib.md5(f"mix-42|{d}".encode("utf-8")).hexdigest()[:8],
+                16,
+            )
+            mask.append(h < w * 4294967296.0)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    out = (
+        _read(sf_dir, ["doc_id", "source"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
