@@ -174,7 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "span_dedup_documents": T.span_dedup_documents,
         "filter_quality_documents": T.filter_quality_documents,
-        "minhash_dup_pairs": T.minhash_dup_pairs,  # non-SQL (LSH)
+        "minhash_dup_pairs": T.minhash_dup_pairs,
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "dup_clusters": T.dup_clusters,
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
@@ -212,6 +212,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------------- #
 def oracle_sql() -> dict[str, str]:
     ws = _WS.replace("'", "''")
+    # MinHash permutation constants (seed 42) embedded as literals so
+    # DuckDB reproduces the engine's signatures bit-for-bit
+    from finance_sc_relations_ray.pipelines.text import _minhash_params
+
+    mh_a, mh_b = _minhash_params(64)
+    mh_perms = ", ".join(
+        f"({i}, {int(mh_a[i])}::HUGEINT, {int(mh_b[i])}::HUGEINT)"
+        for i in range(64)
+    )
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -699,6 +708,78 @@ def oracle_sql() -> dict[str, str]:
             FROM t, tot
             GROUP BY tok, tot.n
             HAVING count(*) >= 0.005 * tot.n
+        """,
+        # Full MinHash+LSH+verify mirror: identical md5-64 shingle
+        # hashes, the engine's exact (a*h+b) uint64-WRAP-then-Mersenne
+        # permutation arithmetic (constants embedded above), md5-64
+        # band bucketing, exact-Jaccard gate — bit-identical by
+        # construction (the star cap for >1000-doc buckets cannot
+        # trigger at oracle scale)
+        "minhash_dup_pairs": rf"""
+            WITH perms AS (
+                SELECT * FROM (VALUES {mh_perms}) p(i, pa, pb)
+            ), toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                    list_distinct(
+                        CASE WHEN len(t) >= 3
+                             THEN list_transform(range(1, len(t) - 1),
+                                                 i -> array_to_string(t[i:i+2], ' '))
+                             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                             ELSE [] END
+                    ) AS s
+                FROM toks
+            ), eh AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 16))::UBIGINT::HUGEINT AS h
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+            ), sig AS (
+                SELECT d.doc_id, p.i,
+                       coalesce(min(((p.pa * e.h) % 18446744073709551616::HUGEINT
+                                     + p.pb) % 18446744073709551616::HUGEINT
+                                    % 2305843009213693951),
+                                2305843009213693951) AS v
+                FROM (SELECT doc_id FROM documents) d
+                CROSS JOIN perms p
+                LEFT JOIN eh e ON e.doc_id = d.doc_id
+                GROUP BY d.doc_id, p.i
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band_id,
+                       substr(md5(string_agg(v::VARCHAR, ',' ORDER BY i)),
+                              1, 16) AS bh
+                FROM sig GROUP BY doc_id, i // 4
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+                FROM bands x JOIN bands y
+                  ON x.band_id = y.band_id AND x.bh = y.bh
+                 AND y.doc_id > x.doc_id
+            ), cnt AS (
+                SELECT s.doc_id, count(e.h) AS n
+                FROM sh s LEFT JOIN eh e ON e.doc_id = s.doc_id
+                GROUP BY s.doc_id
+            ), inter AS (
+                SELECT c.doc_id_a, c.doc_id_b, count(*) AS i
+                FROM cand c
+                JOIN eh a ON a.doc_id = c.doc_id_a
+                JOIN eh b ON b.doc_id = c.doc_id_b AND b.h = a.h
+                GROUP BY 1, 2
+            )
+            SELECT c.doc_id_a, c.doc_id_b,
+                   round(CASE WHEN ca.n = 0 AND cb.n = 0 THEN 1.0
+                         ELSE coalesce(i.i, 0)
+                              / (ca.n + cb.n - coalesce(i.i, 0))::DOUBLE
+                         END, 6) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.doc_id_a = c.doc_id_a
+                             AND i.doc_id_b = c.doc_id_b
+            JOIN cnt ca ON ca.doc_id = c.doc_id_a
+            JOIN cnt cb ON cb.doc_id = c.doc_id_b
+            WHERE CASE WHEN ca.n = 0 AND cb.n = 0 THEN 1.0
+                  ELSE coalesce(i.i, 0)
+                       / (ca.n + cb.n - coalesce(i.i, 0))::DOUBLE
+                  END >= 0.8
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

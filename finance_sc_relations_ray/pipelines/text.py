@@ -308,6 +308,12 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 _MERSENNE = (1 << 61) - 1
 
 
+def _signed64(h: int) -> int:
+    """Two's-complement reinterpretation uint64 → int64 (Arrow int64
+    columns; bijective, so equality classes are preserved)."""
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -319,10 +325,11 @@ def _minhash_sig(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     sh = textops.shingles(text, 3)
     if not sh:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    hv = np.array(
-        [zlib.crc32(s.encode("utf-8")) for s in sorted(sh)], dtype=np.uint64
-    )
-    # (a*h + b) mod p, broadcast perms × shingles
+    hv = np.array([_md5_64(s) for s in sorted(sh)], dtype=np.uint64)
+    # (a*h + b) mod p, broadcast perms × shingles. numpy uint64
+    # arithmetic WRAPS mod 2^64 before the Mersenne reduction; the SQL
+    # oracle replicates the wrap explicitly (% 2^64 in HUGEINT), so
+    # signatures are bit-identical by construction.
     vals = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
     return vals.min(axis=1)
 
@@ -345,7 +352,10 @@ class MinHashActor:
             sig = _minhash_sig(text, self.a, self.b)
             for band in range(self.bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                h = zlib.crc32(chunk.tobytes())
+                # md5 of the decimal-joined band values: 64-bit (band
+                # collisions ~2^-64 instead of crc32's 2^-32) and
+                # SQL-replicable (md5(string_agg(v, ',' ORDER BY i)))
+                h = _signed64(_md5_64(",".join(str(int(v)) for v in chunk)))
                 doc_ids.append(doc_id)
                 band_ids.append(band)
                 band_hashes.append(h)
@@ -356,14 +366,6 @@ class MinHashActor:
                 "band_hash": pa.array(band_hashes, pa.int64()),
             }
         )
-
-
-def _hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (two crc32 lanes), as int64."""
-    h = zlib.crc32(s.encode("utf-8")) | (
-        zlib.crc32(s[::-1].encode("utf-8")) << 32
-    )
-    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def minhash_dup_pairs(
@@ -481,7 +483,11 @@ def minhash_dup_pairs(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             ids.append(doc_id)
-            hs.append(sorted(_hash64(s) for s in textops.shingles(text, 3)))
+            hs.append(
+                sorted(
+                    {_signed64(_md5_64(s)) for s in textops.shingles(text, 3)}
+                )
+            )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -1224,8 +1230,8 @@ def dup_clusters(
 @functools.lru_cache(maxsize=1 << 20)
 def _md5_64(s: str) -> int:
     """md5-derived 64-bit token hash (unsigned, as int) — chosen over
-    the crc32 ``_hash64`` for SimHash so the whole sketch is
-    SQL-expressible: DuckDB computes the identical value as
+    crc32 so the whole sketch (and the MinHash signer, which shares
+    this hash) is SQL-expressible: DuckDB computes the identical value as
     ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``. Cached per worker
     process (token vocab is small relative to the corpus)."""
     import hashlib
