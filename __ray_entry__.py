@@ -186,7 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
         "token_length_quantiles": M.token_length_quantiles,
-        "stratified_split_documents": M.stratified_split_documents,  # seeded, non-SQL
+        "stratified_split_documents": M.stratified_split_documents,
         "hash_split_documents": M.hash_split_documents,
         "sample_documents_consistent": M.sample_documents_consistent,
         "embedding_dup_pairs": M.embedding_dup_pairs,
@@ -677,6 +677,25 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN right(source, 1) BETWEEN '0' AND '9'
                           THEN (right(source, 1)::INT + 1) / 10.0
                           ELSE 1.0 END) * 4294967296
+        """,
+        # the md5-ordered within-stratum shuffle mirrored exactly;
+        # round(n*0.2) can never land on .5 (n/5 has no .5 fraction),
+        # so DuckDB's away-from-zero round == Python's banker's round
+        "stratified_split_documents": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('split-42|' || lang || '|'
+                                        || doc_id::VARCHAR), doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN rn <= round(cnt * 0.2)::BIGINT
+                        THEN 'valid' ELSE 'train' END AS split
+            FROM r
         """,
         "hash_split_documents": """
             SELECT doc_id,

@@ -46,15 +46,26 @@ def stratified_doc_split(
 ) -> dict[int, str]:
     """Doc-level stratified train/valid split (reference
     src/utils/preprocess.py:397-447: split at document granularity,
-    stratified by label, then rows expand back). Deterministic: shuffle
-    within stratum with a crc32-seeded RNG. Returns doc_id → 'train'|'valid'."""
+    stratified by label, then rows expand back). Deterministic: the
+    within-stratum shuffle is the md5 order of ``seed|stratum|doc_id``
+    — a stateless pseudo-random permutation, so the assignment is
+    independent of input order AND SQL-checkable (row_number() over
+    the same md5 order; see oracle_sql). Returns doc_id →
+    'train'|'valid'."""
+    import hashlib
+
     by_stratum: dict[str, list[int]] = defaultdict(list)
     for d, s in zip(doc_ids, strata):
         by_stratum[s].append(d)
     out: dict[int, str] = {}
     for s in sorted(by_stratum):
         ids = sorted(by_stratum[s])
-        _rng(f"{seed_key}|{s}").shuffle(ids)
+        ids.sort(
+            key=lambda d: (
+                hashlib.md5(f"{seed_key}|{s}|{d}".encode("utf-8")).hexdigest(),
+                d,
+            )
+        )
         n_valid = int(round(len(ids) * valid_frac))
         for i, d in enumerate(ids):
             out[d] = "valid" if i < n_valid else "train"
