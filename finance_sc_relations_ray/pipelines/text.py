@@ -917,9 +917,10 @@ def _ngram_jaccard_pairs_ds(
     max_doc_freq: int | None = None,
 ) -> "ray.data.Dataset":
     """EXACT word-n-gram Jaccard near-dup pairs, fully distributed:
-    shingle-explode → co-partitioned pair counting (|A∩B|) → per-doc
-    shingle counts attached via the co-partitioned bucket join
-    (stages/joins.py — no driver-side count map, no broadcast dict).
+    shingle-explode (per-doc |shingles| riding along every row — no
+    driver-side count map, no broadcast dict, no count-attach join) →
+    co-partitioned pair counting (|A∩B|) → pair-bucketed sum →
+    jaccard. Exactly TWO all-to-all exchanges.
     The shingle groupby is amortized over coarse hash buckets; this is
     the exact-verification complement to the MinHash+LSH candidate
     generator. DuckDB oracle mirrors it exactly when
@@ -929,17 +930,27 @@ def _ngram_jaccard_pairs_ds(
     useful threshold anyway), logged, at the cost of exactness."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, grams = [], []
+        """doc rows → (doc_id, shingle, |shingles(doc)|, coarse bucket).
+        The per-doc count RIDES ALONG each shingle row: a pair stage
+        downstream then has n_a/n_b in hand, so no count-attach join —
+        and therefore no extra exchange — is ever needed (the round-2
+        first cut ran TWO bucket-join sorts just to re-attach a number
+        the explode stage already knew; at this data size the three
+        sort exchanges were 13.4 s of a 17.3 s wall)."""
+        doc_ids, grams, ns = [], [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            for g in textops.shingles(text, n):
+            sh = textops.shingles(text, n)
+            for g in sh:
                 doc_ids.append(doc_id)
                 grams.append(g)
+                ns.append(len(sh))
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "g": pa.array(grams, pa.string()),
+                "n": pa.array(ns, pa.int64()),
                 "coarse": pa.array(
                     [zlib.crc32(x.encode("utf-8")) % 64 for x in grams],
                     pa.int32(),
@@ -947,31 +958,8 @@ def _ngram_jaccard_pairs_ds(
             }
         )
 
-    # materialized once: both the per-doc count aggregate and the pair
-    # pipeline consume it — without this the read+shingle work runs
-    # twice (blocks live in the object store, spillable)
     shingle_rows = _read(sf_dir, ["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow"
-    ).materialize()
-
-    # per-doc DISTINCT shingle counts: |shingles(doc)| is computable
-    # per row at read time — no shuffle (the round-2 first cut ran a
-    # full groupby(doc_id).count() exchange over every shingle row just
-    # to recover a number the explode stage already knew). One row per
-    # doc, kept distributed (never a driver dict), consumed by both
-    # join passes.
-    def count_shingles(batch: pa.Table) -> pa.Table:
-        ns = [
-            len(textops.shingles(t, n)) for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "n": pa.array(ns, pa.int64())}
-        )
-
-    counts_ds = (
-        _read(sf_dir, ["doc_id", "text"])
-        .map_batches(count_shingles, batch_format="pyarrow")
-        .materialize()
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -980,7 +968,7 @@ def _ngram_jaccard_pairs_ds(
         combiner), keyed by an int pair-hash bucket for the final
         exchange — a 2-int-key global aggregate over the raw pair
         stream was this query's hotspot (14 s of a 23 s run)."""
-        d = g[["g", "doc_id"]].drop_duplicates()
+        d = g[["g", "doc_id", "n"]].drop_duplicates()
         if max_doc_freq is not None:
             df_counts = d["g"].value_counts()
             hot = df_counts[df_counts > max_doc_freq]
@@ -992,7 +980,11 @@ def _ngram_jaccard_pairs_ds(
                 d = d[~d["g"].isin(hot.index)]
         m = d.merge(d, on="g", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
-        c = m.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
+        # n_a/n_b are doc constants, so grouping by them too changes
+        # nothing except keeping them attached through the reduce
+        c = m.groupby(
+            ["doc_id_a", "doc_id_b", "n_a", "n_b"], as_index=False
+        ).size()
         a = c["doc_id_a"].to_numpy(dtype=np.uint64)
         b = c["doc_id_b"].to_numpy(dtype=np.uint64)
         pb = ((a * np.uint64(2654435761) + b) % np.uint64(64)).astype(np.int32)
@@ -1000,13 +992,17 @@ def _ngram_jaccard_pairs_ds(
             {
                 "doc_id_a": c["doc_id_a"],
                 "doc_id_b": c["doc_id_b"],
+                "n_a": c["n_a"],
+                "n_b": c["n_b"],
                 "i": c["size"],
                 "pb": pb,
             }
         )
 
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["doc_id_a", "doc_id_b"], as_index=False)["i"].sum()
+        out = g.groupby(
+            ["doc_id_a", "doc_id_b", "n_a", "n_b"], as_index=False
+        )["i"].sum()
         return out
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
@@ -1025,22 +1021,6 @@ def _ngram_jaccard_pairs_ds(
         )
     )
 
-    from ..stages.joins import bucket_lookup_join
-
-    schema1 = pa.schema(
-        [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("i", pa.int64())]
-    )
-    j1 = bucket_lookup_join(
-        inter, counts_ds, on="doc_id_a", right_key="doc_id",
-        payload={"n": "n_a"}, left_schema=schema1,
-        payload_types={"n_a": pa.int64()}, num_buckets=64,
-    )
-    j2 = bucket_lookup_join(
-        j1, counts_ds, on="doc_id_b", right_key="doc_id",
-        payload={"n": "n_b"}, left_schema=schema1.append(pa.field("n_a", pa.int64())),
-        payload_types={"n_b": pa.int64()}, num_buckets=64,
-    )
-
     def finalize(batch: pa.Table) -> pa.Table:
         i = batch["i"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1057,7 +1037,7 @@ def _ngram_jaccard_pairs_ds(
             }
         )
 
-    return j2.map_batches(finalize, batch_format="pyarrow")
+    return inter.map_batches(finalize, batch_format="pyarrow")
 
 
 # ------------------------------------- near-dup connected components ----
