@@ -750,15 +750,16 @@ def span_dedup_documents(
     beats are emitted as final losers immediately — a local loser loses
     globally too, so the all-to-all moves at most one row per
     span x batch) → global per-span min among candidates → loser
-    positions explode to covered sentence indices → per-doc removal
-    lists → left bucket join back onto documents → re-sentencize and
-    rebuild (sentences re-derived in the final map, so sentence TEXT
-    never crosses an exchange — only (doc_id, idx) pairs do).
+    positions explode to covered sentence indices → ONE doc-bucketed
+    exchange carrying removal rows and document rows together → per-doc
+    removal set + rebuild in a single whole-group stage (sentences are
+    re-derived there, so sentence TEXT crosses the exchange once, as
+    part of its own document row). Exactly TWO all-to-all exchanges.
     The DuckDB oracle replicates it with window functions over the
     sentencize CTE (n_sent pinned to 3 there)."""
     import hashlib
 
-    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+    from ..stages.joins import NO_FUSE_NUM_CPUS
 
     def span_occurrences(batch: pa.Table) -> pa.Table:
         doc_ids, poss, h1s, h2s = [], [], [], []
@@ -835,62 +836,81 @@ def span_dedup_documents(
         explode_removed, batch_format="pyarrow"
     )
 
-    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+    # removal rows and the document rows themselves ride the SAME
+    # doc-bucketed exchange (one unified (doc_id, idx, text) schema;
+    # removal rows carry a null text, doc rows a null idx), and one
+    # whole-group fn builds each doc's removal set and rebuilds it in
+    # place. The earlier cut ran a separate removal-list groupby PLUS a
+    # bucket join — two sorts where one suffices (profiled: the three
+    # sorts were 17.5 s of a 22.5 s wall at sf0.1).
+    def removal_to_unified(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bk = ((d * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(
             np.int32
         )
-        return batch.append_column("b", pa.array(bk, pa.int32()))
-
-    def to_removal_lists(g: pd.DataFrame) -> pa.Table:
-        # build the list column as typed Arrow directly — a pandas
-        # object column of lists gets re-encoded by Ray as a ragged
-        # tensor extension type (engine hazard #3, stages/joins.py)
-        gg = g.groupby("doc_id")["idx"].apply(
-            lambda s: sorted(set(int(x) for x in s))
-        )
         return pa.table(
             {
-                "doc_id": pa.array(gg.index.to_numpy(), pa.int64()),
-                "removed": pa.array(gg.tolist(), pa.list_(pa.int64())),
+                "doc_id": batch["doc_id"],
+                "idx": batch["idx"],
+                "text": pa.nulls(batch.num_rows, pa.string()),
+                "b": pa.array(bk, pa.int32()),
             }
         )
 
-    removal_lists = (
-        removed.map_batches(add_doc_bucket, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(
-            to_removal_lists, batch_format="pandas",
-            num_cpus=NO_FUSE_NUM_CPUS,
+    def doc_to_unified(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = ((d * np.uint64(2654435761)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "idx": pa.nulls(batch.num_rows, pa.int64()),
+                "text": batch["text"],
+                "b": pa.array(bk, pa.int32()),
+            }
+        )
+
+    unified = removed.map_batches(
+        removal_to_unified, batch_format="pyarrow"
+    ).union(
+        _read(sf_dir, ["doc_id", "text"]).map_batches(
+            doc_to_unified, batch_format="pyarrow"
         )
     )
 
-    joined = bucket_lookup_join(
-        _read(sf_dir, ["doc_id", "text"]), removal_lists,
-        on="doc_id", right_key="doc_id",
-        payload={"removed": "removed"},
-        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
-        payload_types={"removed": pa.list_(pa.int64())},
-        num_buckets=num_buckets, how="left",
-    )
-
-    def rebuild(batch: pa.Table) -> pa.Table:
-        texts = []
-        for text, removed_idx in zip(
-            batch["text"].to_pylist(), batch["removed"].to_pylist()
-        ):
-            if not removed_idx:
-                sents = textops.sentencize(text)
-                texts.append(" ".join(sents))
-                continue
-            drop = set(removed_idx)
+    def rebuild_group(g: pd.DataFrame) -> pa.Table:
+        is_doc = g["text"].notna()
+        rem = g[~is_doc]
+        rem_map: dict = (
+            rem.groupby("doc_id")["idx"].apply(
+                lambda s: {int(x) for x in s}
+            ).to_dict()
+            if len(rem)
+            else {}
+        )
+        docs = g[is_doc]
+        ids, texts = [], []
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
             sents = textops.sentencize(text)
+            drop = rem_map.get(doc_id, ())
+            ids.append(int(doc_id))
             texts.append(
                 " ".join(s for i, s in enumerate(sents) if i not in drop)
             )
-        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(texts, pa.string())})
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
 
-    return joined.map_batches(rebuild, batch_format="pyarrow")
+    return (
+        unified.groupby("b")
+        .map_groups(
+            rebuild_group, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
+    )
 
 
 # ------------------------------------------------ exact n-gram Jaccard --
