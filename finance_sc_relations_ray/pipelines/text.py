@@ -523,16 +523,22 @@ def minhash_dup_pairs(
     pairs_ds = ray.data.from_pandas(cand[["doc_id_a", "doc_id_b"]])
     schema1 = pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())])
     lt = pa.list_(pa.int64())
+    # bucket count scales with the CANDIDATE volume, not a constant:
+    # the verify funnel is usually tiny relative to the corpus, and a
+    # fixed 32-bucket exchange over a few hundred pairs spends its
+    # whole wall scheduling near-empty sort tasks (the dup_clusters
+    # block-explosion lesson)
+    nb = int(min(32, max(len(cand), len(need)) // 50_000 + 1))
     j1 = bucket_lookup_join(
         pairs_ds, sub, on="doc_id_a", right_key="doc_id",
         payload={"sh": "sh_a"}, left_schema=schema1,
-        payload_types={"sh_a": lt}, num_buckets=32,
+        payload_types={"sh_a": lt}, num_buckets=nb,
     )
     schema2 = schema1.append(pa.field("sh_a", lt))
     j2 = bucket_lookup_join(
         j1, sub, on="doc_id_b", right_key="doc_id",
         payload={"sh": "sh_b"}, left_schema=schema2,
-        payload_types={"sh_b": lt}, num_buckets=32,
+        payload_types={"sh_b": lt}, num_buckets=nb,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
