@@ -97,6 +97,39 @@ class StubTokenizer:
         return ids[: self.max_len]
 
 
+def markers_survive(text: str, max_len: int) -> bool:
+    """``get_e1e2_start(StubTokenizer(max_len).encode(text)) is not
+    None`` without materializing the ids: counts token positions
+    piece-by-piece and short-circuits as soon as both [E1] and [E2]
+    sit below the truncation limit (or the budget is exhausted).
+    Exactly equivalent because marker ids (3-6) are below
+    ``_VOCAB_OFFSET``, so a word piece can never alias a marker —
+    property-tested against the encode path in tests/test_tokenizer.py.
+    This is the scoring hot path (one call per scored variant; the
+    full encode was ~22% of per-page time)."""
+    n = 1  # [CLS]
+    seen1 = seen2 = False
+    for piece in _MARKER_RE.split(text):
+        if n >= max_len:
+            break
+        if not piece:
+            continue
+        if piece in _MARKER_IDS:
+            if piece == "[E1]":
+                seen1 = True
+            elif piece == "[E2]":
+                seen2 = True
+            if seen1 and seen2:
+                return True
+            n += 1
+            continue
+        for word in _WORD_RE.findall(piece.lower()):
+            n += len(_word_ids(word))
+            if n >= max_len:
+                break
+    return seen1 and seen2
+
+
 def get_e1e2_start(
     ids: list[int], e1_id: int = E1_ID, e2_id: int = E2_ID
 ) -> tuple[int, int] | None:

@@ -180,7 +180,7 @@ def prepare_for_scoring(
     mutate=True), then marker-survival check after stub tokenization +
     truncation. Returns the text to score, or None → drop + count.
     ``org_groups`` is the list<struct{name,gid}> cell or None."""
-    from ..functions.tokenizer import get_e1e2_start
+    from ..functions.tokenizer import markers_survive
 
     if config.mutate_before_scoring and org_groups:
         from ..functions.tagging import mutate_sent
@@ -191,7 +191,9 @@ def prepare_for_scoring(
             seed_key=tagged,
         )
     if config.tokenize_markers:
-        if get_e1e2_start(tokenizer.encode(tagged)) is None:
+        # short-circuit equivalent of
+        # get_e1e2_start(tokenizer.encode(tagged)) is None
+        if not markers_survive(tagged, tokenizer.max_len):
             return None
     return tagged
 

@@ -191,3 +191,31 @@ def test_tokenizer_artifact_roundtrip(tmp_path):
     assert get_e1e2_start(loaded.encode(TAGGED)) == get_e1e2_start(
         tok.encode(TAGGED)
     )
+
+
+def test_markers_survive_equivalent_to_encode_path():
+    """markers_survive is the scoring hot path's short-circuit stand-in
+    for get_e1e2_start(encode(text)) — must agree EXACTLY, including at
+    truncation boundaries (max_len swept across the marker positions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finance_sc_relations_ray.functions.tokenizer import markers_survive
+
+    pieces = st.lists(
+        st.sampled_from(
+            ["[E1]", "[/E1]", "[E2]", "[/E2]", "word", "Multi Word Corp",
+             "x" * 23, "a,b.c", "", " ", "7 Samsung-Electronics 99"]
+        ),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(pieces, st.integers(min_value=2, max_value=40))
+    def check(parts, max_len):
+        text = " ".join(parts)
+        tok = StubTokenizer(max_len)
+        expected = get_e1e2_start(tok.encode(text)) is not None
+        assert markers_survive(text, max_len) == expected, (text, max_len)
+
+    check()
