@@ -1,0 +1,83 @@
+"""Corpus-curation operators (cap_per_source / pack_token_offsets /
+resample_by_source): invariants the SQL oracle cannot express —
+independence from physical partitioning, and the cap/mix semantics on
+planted inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from finance_sc_relations_ray.pipelines.text import (
+    cap_per_source,
+    pack_token_offsets,
+    resample_by_source,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_offsets_partitioning_independent():
+    """The distributed exclusive prefix sum must not depend on how
+    doc_ids fall into range buckets: num_buckets=1 (single cumsum) and
+    num_buckets=29 (prime — ragged, uneven buckets) must agree row for
+    row."""
+    a = pack_token_offsets(SF, num_buckets=1)
+    b = pack_token_offsets(SF, num_buckets=29)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_offsets_contiguous():
+    out = pack_token_offsets(SF)
+    # offsets tile the concatenated token stream exactly, in doc order
+    assert (
+        out["start_tok"].to_numpy()[1:]
+        == (out["start_tok"] + out["n_tokens"]).to_numpy()[:-1]
+    ).all()
+    assert int(out["start_tok"].iloc[0]) == 0
+    # chunk arithmetic consistent with seq_len=512
+    nt = out["n_tokens"].to_numpy()
+    st = out["start_tok"].to_numpy()
+    exp_n = np.where(nt > 0, (st + nt - 1) // 512 - st // 512 + 1, 0)
+    assert (out["n_chunks"].to_numpy() == exp_n).all()
+
+
+def test_cap_per_source_planted(tmp_path):
+    """One mega-source with 50 docs, one tiny source with 2: the cap
+    keeps exactly n of the former (the longest, doc_id tiebreak) and
+    both of the latter."""
+    rows = [(i, "hub", 1000 - (i % 3)) for i in range(50)]
+    rows += [(100, "tail", 10), (101, "tail", 5)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = cap_per_source(str(tmp_path), n=10)
+    assert (out["source"] == "tail").sum() == 2
+    hub = out[out["source"] == "hub"]
+    assert len(hub) == 10
+    # longest first (n_chars == 1000 → doc_ids ≡ 0 mod 3), doc_id ties
+    expected = sorted(i for i in range(50) if i % 3 == 0)[:10]
+    assert sorted(hub["doc_id"].tolist()) == expected
+
+
+def test_resample_by_source_is_stateless_subset():
+    """Every kept row exists in the input, the decision is a pure
+    function of doc_id (rerun → identical), and each source's keep
+    rate tracks its weight."""
+    a = resample_by_source(SF)
+    b = resample_by_source(SF)
+    pd.testing.assert_frame_equal(a, b)
+    full = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    merged = a.merge(full, on=["doc_id", "source"], how="left", indicator=True)
+    assert (merged["_merge"] == "both").all()
+    # src9/src19 end in 9 → weight 1.0 → every doc kept
+    for s in ("src9", "src19"):
+        assert (a["source"] == s).sum() == (full["source"] == s).sum()
