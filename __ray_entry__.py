@@ -90,6 +90,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _pages(sf_dir), columns=["url", "html"]
         ).map_batches(binary_meta_batch, batch_format="pyarrow")
 
+    def pages_byte_features(sf_dir: str):
+        import ray.data
+
+        from finance_sc_relations_ray.stages.multimodal import (
+            byte_features_batch,
+        )
+
+        return ray.data.read_parquet(
+            _pages(sf_dir), columns=["url", "html"]
+        ).map_batches(byte_features_batch, batch_format="pyarrow",
+                      batch_size=64)
+
     def pages_decode_stub(sf_dir: str):
         import ray.data
 
@@ -203,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_training_data": kg_training_data,  # non-SQL (seeded split/shuffle)
         # multimodal binary-column plumbing (non-SQL)
         "pages_binary_meta": pages_binary_meta,
+        "pages_byte_features": pages_byte_features,  # real codec-free features
         "pages_decode_stub": pages_decode_stub,
         "pages_resize_stub": pages_resize_stub,
         "pages_frame_sample_stub": pages_frame_sample_stub,

@@ -160,3 +160,38 @@ class FrameSampleStubActor:
                 "frame": pa.array(frames, pa.binary()),
             }
         )
+
+
+def byte_features_batch(batch: pa.Table, payload_col: str = "html") -> pa.Table:
+    """REAL (non-stub) codec-free feature extraction over binary
+    payloads: 256-bin byte histogram, Shannon entropy (bits/byte) and
+    the modal byte — the standard cheap signals for content-type
+    detection and binary-junk filtering in web-crawl curation. Fully
+    vectorized (one ``np.bincount`` per row on a zero-copy buffer
+    view); no media library needed, so unlike the decode/resize stubs
+    this stage runs for every codec as-is."""
+    import numpy as np
+
+    urls = batch["url"]
+    hists, ents, modes = [], [], []
+    for p in batch[payload_col].to_pylist():
+        arr = np.frombuffer(p, dtype=np.uint8)
+        hist = np.bincount(arr, minlength=256).astype(np.int64)
+        n = int(arr.size)
+        if n:
+            pr = hist[hist > 0] / n
+            ent = float(-(pr * np.log2(pr)).sum())
+            mode = int(hist.argmax())
+        else:
+            ent, mode = 0.0, 0
+        hists.append(hist.tolist())
+        ents.append(round(ent, 6))
+        modes.append(mode)
+    return pa.table(
+        {
+            "url": urls,
+            "entropy": pa.array(ents, pa.float64()),
+            "modal_byte": pa.array(modes, pa.int32()),
+            "byte_hist": pa.array(hists, pa.list_(pa.int64(), 256)),
+        }
+    )

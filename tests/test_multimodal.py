@@ -85,3 +85,26 @@ def test_actor_pool_wiring_small_batches():
     )
     assert resized.count() == 40
     assert frames.count() >= 40
+
+
+def test_byte_features_known_payload():
+    import math
+
+    import pyarrow as pa
+
+    from finance_sc_relations_ray.stages.multimodal import byte_features_batch
+
+    batch = pa.table(
+        {
+            "url": pa.array(["u0", "u1", "u2"], pa.string()),
+            "html": pa.array([b"aaaabbbb", b"", b"\x00" * 16], pa.binary()),
+        }
+    )
+    out = byte_features_batch(batch)
+    ents = out["entropy"].to_pylist()
+    assert ents[0] == 1.0  # two equiprobable symbols
+    assert ents[1] == 0.0 and ents[2] == 0.0
+    assert out["modal_byte"].to_pylist()[2] == 0
+    h0 = out["byte_hist"].to_pylist()[0]
+    assert len(h0) == 256 and h0[ord("a")] == 4 and h0[ord("b")] == 4
+    assert sum(h0) == 8
