@@ -60,6 +60,55 @@ class BloomFilter:
             bf.add(str(k))
         return bf
 
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        """In-place OR-merge. Bitwise union of two filters with the same
+        (m, k) is exactly the filter of the united key sets — Bloom
+        bitmaps form a commutative monoid, so the build parallelizes."""
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError("cannot union Bloom filters with different params")
+        if not self.bits.flags.writeable:
+            # deserialized partials are zero-copy views over immutable
+            # object-store buffers
+            self.bits = self.bits.copy()
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
     @property
     def nbytes(self) -> int:
         return int(self.bits.nbytes)
+
+
+def build_distributed(
+    ds: "object", column: str, capacity: int, fp_rate: float = 0.01
+):
+    """Build a Bloom filter over ``ds[column]`` as a distributed Ray
+    Data OR-reduce (``AggregateFn`` with ``merge``): every block
+    accumulates into a fixed-``(m, k)`` filter (deterministic from
+    ``capacity``, so all partials are mergeable), partials combine by
+    bitwise union in the aggregation tree, and the DRIVER only ever
+    holds the final fixed-size bitmap — never the key list. This is the
+    scale path for semi-join prunes whose key set is itself distributed
+    (e.g. the MinHash candidate ids, r2 verdict item #1).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def _init(_key):
+        return BloomFilter(capacity, fp_rate)
+
+    def _acc(bf: BloomFilter, block) -> BloomFilter:
+        vals = (
+            block[column].to_pylist()
+            if hasattr(block, "column_names")  # pyarrow.Table
+            else block[column].tolist()  # pandas.DataFrame
+        )
+        for v in vals:
+            bf.add(str(v))
+        return bf
+
+    out = ds.aggregate(
+        AggregateFn(
+            init=_init, merge=BloomFilter.union, name="bloom",
+            accumulate_block=_acc,
+        )
+    )
+    return out["bloom"]

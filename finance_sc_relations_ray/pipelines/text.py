@@ -368,12 +368,79 @@ class MinHashActor:
         )
 
 
+_PAIR_H1 = np.uint64(0x9E3779B97F4A7C15)
+_PAIR_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _distinct_pairs_ds(
+    pairs: "ray.data.Dataset", num_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Distributed DISTINCT over (doc_id_a, doc_id_b) pair rows — the
+    combiner pattern (stages/shuffle.py): per-batch ``drop_duplicates``
+    → numpy-hashed bucket exchange → per-bucket distinct. At most one
+    row per (pair, batch) crosses the exchange; nothing touches the
+    driver."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().astype(
+            {"doc_id_a": "int64", "doc_id_b": "int64"}
+        )
+        a = df["doc_id_a"].to_numpy().astype(np.uint64)
+        b = df["doc_id_b"].to_numpy().astype(np.uint64)
+        # wrapping uint64 mix; bucket skew is irrelevant here (each
+        # bucket only runs a vectorized drop_duplicates)
+        df["__dbucket"] = (((a * _PAIR_H1) ^ (b * _PAIR_H2)) % num_buckets
+                           ).astype(np.int32)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__dbucket").drop_duplicates()
+
+    return (
+        pairs.map_batches(local, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
+def _distinct_pair_ids_ds(
+    pairs: "ray.data.Dataset", num_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Distinct doc ids appearing on either side of a pair stream, as a
+    Dataset (same combiner-first shape as ``_distinct_pairs_ds``)."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.unique(
+            np.concatenate(
+                [df["doc_id_a"].to_numpy(), df["doc_id_b"].to_numpy()]
+            )
+        )
+        out = pd.DataFrame({"doc_id": ids.astype("int64")})
+        out["__dbucket"] = (
+            (out["doc_id"].to_numpy().astype(np.uint64) * _PAIR_H1)
+            % num_buckets
+        ).astype(np.int32)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__dbucket").drop_duplicates()
+
+    return (
+        pairs.map_batches(local, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
 def minhash_dup_pairs(
     sf_dir: str,
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     max_bucket_docs: int = 1000,
+    pushdown_max_ids: int = 100_000,
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified with exact word-
     3-gram Jaccard (shingle → minhash → band → bucket groupby →
@@ -425,54 +492,42 @@ def minhash_dup_pairs(
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
-    cand = (
+    raw_pairs = (
         bands_ds.map_batches(add_coarse, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(
             bucket_pairs, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
         )
-        .to_pandas()
     )
-    if len(cand) == 0:
+    # The candidate funnel stays a DATASET end-to-end (r2 verdict #1:
+    # on template-heavy web corpora candidate pairs are O(corpus), so
+    # they must never pinch through the driver). Distinct pairs are the
+    # combiner pattern of stages/shuffle.py: per-batch drop_duplicates
+    # → hash-bucketed exchange → per-bucket distinct; the exchange
+    # moves at most one row per (pair, batch). Materialized in the
+    # OBJECT STORE (spillable), not the driver heap, because the stream
+    # is consumed twice (id derivation + the verify join) and its count
+    # sizes the join exchange.
+    pairs_ds = _distinct_pairs_ds(raw_pairs).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return pd.DataFrame(
             {"doc_id_a": pd.Series([], dtype="int64"),
              "doc_id_b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
-    cand = cand.drop_duplicates().astype({"doc_id_a": "int64", "doc_id_b": "int64"})
 
-    # verify with exact shingle Jaccard — fully distributed: only the
-    # candidate PAIR IDS (the small end of the funnel) touch the
-    # driver; document text never does. The candidate doc subset is
-    # semi-join-pruned from the documents dataset, reduced to distinct
-    # 64-bit shingle hashes, and joined to the pairs twice via the
-    # co-partitioned bucket join (stages/joins.py).
-    need = sorted(set(cand["doc_id_a"]) | set(cand["doc_id_b"]))
-    # broadcast a Bloom filter instead of the raw id set once it gets
-    # large (semi-join: false positives just fetch extra rows that the
-    # exact dict lookup below ignores — functions/bloom.py)
-    if len(need) > 10_000:
-        from ..functions.bloom import BloomFilter
-
-        need_ref = ray.put(BloomFilter.build(map(str, need)))
-
-        def member(summary, d):
-            return str(d) in summary
-    else:
-        need_ref = ray.put(set(need))
-
-        def member(summary, d):
-            return d in summary
-
-    class FilterNeeded:
-        def __init__(self):
-            self.need = ray.get(need_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array(
-                [member(self.need, d) for d in batch["doc_id"].to_pylist()]
-            )
-            return batch.filter(mask)
+    # verify with exact shingle Jaccard — fully distributed: document
+    # text never leaves the workers, and (since r3) neither do the
+    # candidate pair/id streams. The candidate doc-id set is derived
+    # with the same distinct combiner, and its semi-join summary is a
+    # Bloom filter built by a distributed OR-reduce aggregate
+    # (functions/bloom.build_distributed): the driver holds only the
+    # fixed-size bitmap. Bloom false positives are harmless — they cost
+    # a wasted shingle computation and are then dropped by the INNER
+    # bucket join (no exact recheck needed).
+    ids_ds = _distinct_pair_ids_ds(pairs_ds).materialize()
+    n_need = ids_ds.count()
 
     def to_shingle_hashes(batch: pa.Table) -> pa.Table:
         """doc rows → (doc_id, sh: distinct 64-bit shingle hashes).
@@ -499,28 +554,55 @@ def minhash_dup_pairs(
 
     # candidate-doc shingle sets: small side (candidates only), kept in
     # the object store (materialized once, consumed by both joins).
-    # When the candidate set is small, the doc_id filter is PUSHED TO
-    # THE PARQUET SCAN (row-group statistics pruning — S7): at corpus
-    # scale the verify stage must not re-read every text byte to keep
-    # ~0.1% of rows. Large candidate sets fall back to the full scan +
-    # Bloom semi-join (an isin filter that big would bloat the plan).
+    # When the candidate set is gate-scale small — proven by the
+    # DISTRIBUTED count above, not by collecting it — the doc_id filter
+    # is additionally PUSHED TO THE PARQUET SCAN (row-group statistics
+    # pruning — S7): at corpus scale the verify stage must not re-read
+    # every text byte to keep ~0.1% of rows. Collecting ≤100k ids of a
+    # count-proven-small result is the ordinary "small results may be
+    # collected" rule; above the gate NO id ever reaches the driver and
+    # the Bloom semi-join alone prunes the full scan.
     import pyarrow.dataset as pads
 
-    read_kwargs = {}
-    if len(need) <= 100_000:
-        read_kwargs["filter"] = pads.field("doc_id").isin(need)
-    sub = (
-        ray.data.read_parquet(
+    if n_need <= pushdown_max_ids:
+        # gated path: the isin scan filter is EXACT, so no further
+        # membership stage is needed at all
+        need = sorted(r["doc_id"] for r in ids_ds.take_all())
+        cand_read = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
-            **read_kwargs,
+            filter=pads.field("doc_id").isin(need),
         )
-        .map_batches(FilterNeeded, batch_format="pyarrow",
-                     concurrency=(1, 2), num_cpus=0.5)
+    else:
+        # scale path: full scan + Bloom semi-join, driver holds only
+        # the fixed-size bitmap
+        from ..functions import bloom as bloom_mod
+
+        need_ref = ray.put(
+            bloom_mod.build_distributed(ids_ds, "doc_id", capacity=n_need)
+        )
+
+        class FilterNeeded:
+            def __init__(self):
+                self.need = ray.get(need_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = pa.array(
+                    [str(d) in self.need
+                     for d in batch["doc_id"].to_pylist()]
+                )
+                return batch.filter(mask)
+
+        cand_read = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).map_batches(FilterNeeded, batch_format="pyarrow",
+                      concurrency=(1, 2), num_cpus=0.5)
+    sub = (
+        cand_read
         .map_batches(to_shingle_hashes, batch_format="pyarrow")
         .materialize()
     )
-    pairs_ds = ray.data.from_pandas(cand[["doc_id_a", "doc_id_b"]])
     schema1 = pa.schema([("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())])
     lt = pa.list_(pa.int64())
     # bucket count scales with the CANDIDATE volume, not a constant:
@@ -528,7 +610,7 @@ def minhash_dup_pairs(
     # fixed 32-bucket exchange over a few hundred pairs spends its
     # whole wall scheduling near-empty sort tasks (the dup_clusters
     # block-explosion lesson)
-    nb = int(min(32, max(len(cand), len(need)) // 50_000 + 1))
+    nb = int(min(32, max(n_pairs, n_need) // 50_000 + 1))
     j1 = bucket_lookup_join(
         pairs_ds, sub, on="doc_id_a", right_key="doc_id",
         payload={"sh": "sh_a"}, left_schema=schema1,

@@ -280,3 +280,32 @@ def test_span_dedup_removes_later_copies(tmp_path):
     )
     assert got[1] == "Something else entirely here."
     assert got[2] == "No duplicates in this one. Just two sentences."
+
+def test_minhash_bloom_scale_path_matches_gated(planted_dir):
+    """pushdown_max_ids=0 forces the scale path (distributed Bloom
+    OR-reduce semi-join, full scan) — it must emit exactly the same
+    verified pairs as the gated exact-isin path."""
+    gated = minhash_dup_pairs(planted_dir, jaccard_threshold=0.5)
+    bloom = minhash_dup_pairs(
+        planted_dir, jaccard_threshold=0.5, pushdown_max_ids=0
+    )
+    assert gated.equals(bloom)
+
+
+def test_bloom_distributed_build_matches_serial():
+    """The AggregateFn OR-reduce build equals the serial build bit for
+    bit (same capacity → same (m,k); union is the set-union monoid)."""
+    import ray
+
+    from finance_sc_relations_ray.functions.bloom import (
+        BloomFilter,
+        build_distributed,
+    )
+
+    keys = [f"k{i}" for i in range(500)]
+    ds = ray.data.from_items([{"key": k} for k in keys]).repartition(7)
+    bf = build_distributed(ds, "key", capacity=len(keys))
+    serial = BloomFilter.build(keys)
+    assert (bf.m, bf.k) == (serial.m, serial.k)
+    assert np.array_equal(bf.bits, serial.bits)
+    assert all(k in bf for k in keys)
