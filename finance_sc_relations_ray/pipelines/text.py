@@ -368,72 +368,6 @@ class MinHashActor:
         )
 
 
-_PAIR_H1 = np.uint64(0x9E3779B97F4A7C15)
-_PAIR_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
-
-
-def _distinct_pairs_ds(
-    pairs: "ray.data.Dataset", num_buckets: int = 32
-) -> "ray.data.Dataset":
-    """Distributed DISTINCT over (doc_id_a, doc_id_b) pair rows — the
-    combiner pattern (stages/shuffle.py): per-batch ``drop_duplicates``
-    → numpy-hashed bucket exchange → per-bucket distinct. At most one
-    row per (pair, batch) crosses the exchange; nothing touches the
-    driver."""
-    from ..stages.joins import NO_FUSE_NUM_CPUS
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates().astype(
-            {"doc_id_a": "int64", "doc_id_b": "int64"}
-        )
-        a = df["doc_id_a"].to_numpy().astype(np.uint64)
-        b = df["doc_id_b"].to_numpy().astype(np.uint64)
-        # wrapping uint64 mix; bucket skew is irrelevant here (each
-        # bucket only runs a vectorized drop_duplicates)
-        df["__dbucket"] = (((a * _PAIR_H1) ^ (b * _PAIR_H2)) % num_buckets
-                           ).astype(np.int32)
-        return df
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns="__dbucket").drop_duplicates()
-
-    return (
-        pairs.map_batches(local, batch_format="pandas")
-        .groupby("__dbucket")
-        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
-    )
-
-
-def _distinct_pair_ids_ds(
-    pairs: "ray.data.Dataset", num_buckets: int = 32
-) -> "ray.data.Dataset":
-    """Distinct doc ids appearing on either side of a pair stream, as a
-    Dataset (same combiner-first shape as ``_distinct_pairs_ds``)."""
-    from ..stages.joins import NO_FUSE_NUM_CPUS
-
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        ids = pd.unique(
-            np.concatenate(
-                [df["doc_id_a"].to_numpy(), df["doc_id_b"].to_numpy()]
-            )
-        )
-        out = pd.DataFrame({"doc_id": ids.astype("int64")})
-        out["__dbucket"] = (
-            (out["doc_id"].to_numpy().astype(np.uint64) * _PAIR_H1)
-            % num_buckets
-        ).astype(np.int32)
-        return out
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns="__dbucket").drop_duplicates()
-
-    return (
-        pairs.map_batches(local, batch_format="pandas")
-        .groupby("__dbucket")
-        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
-    )
-
-
 def minhash_dup_pairs(
     sf_dir: str,
     num_perm: int = 64,
@@ -508,7 +442,9 @@ def minhash_dup_pairs(
     # OBJECT STORE (spillable), not the driver heap, because the stream
     # is consumed twice (id derivation + the verify join) and its count
     # sizes the join exchange.
-    pairs_ds = _distinct_pairs_ds(raw_pairs).materialize()
+    from ..stages.shuffle import distinct_pair_ids_ds, distinct_pairs_ds
+
+    pairs_ds = distinct_pairs_ds(raw_pairs).materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return pd.DataFrame(
@@ -526,7 +462,7 @@ def minhash_dup_pairs(
     # fixed-size bitmap. Bloom false positives are harmless — they cost
     # a wasted shingle computation and are then dropped by the INNER
     # bucket join (no exact recheck needed).
-    ids_ds = _distinct_pair_ids_ds(pairs_ds).materialize()
+    ids_ds = distinct_pair_ids_ds(pairs_ds).materialize()
     n_need = ids_ds.count()
 
     def to_shingle_hashes(batch: pa.Table) -> pa.Table:

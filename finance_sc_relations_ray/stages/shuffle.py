@@ -210,3 +210,83 @@ def salted_dedup(
         batch_format="pandas",
         num_cpus=NO_FUSE_NUM_CPUS,
     )
+
+
+# -------------------------------------------- distributed DISTINCT -----
+_PAIR_H1 = 0x9E3779B97F4A7C15
+_PAIR_H2 = 0xC2B2AE3D27D4EB4F
+
+
+def distinct_pairs_ds(
+    pairs: "ray.data.Dataset",
+    col_a: str = "doc_id_a",
+    col_b: str = "doc_id_b",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed DISTINCT over int64 (col_a, col_b) pair rows — the
+    combiner pattern above specialized to candidate-pair streams:
+    per-batch ``drop_duplicates`` → numpy-hashed bucket exchange →
+    per-bucket distinct. At most one row per (pair, batch) crosses the
+    exchange; nothing touches the driver (r2 verdict item #1)."""
+    import numpy as np
+    import pandas as pd
+
+    from .joins import NO_FUSE_NUM_CPUS
+
+    h1, h2 = np.uint64(_PAIR_H1), np.uint64(_PAIR_H2)
+
+    def local(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates().astype({col_a: "int64", col_b: "int64"})
+        a = df[col_a].to_numpy().astype(np.uint64)
+        b = df[col_b].to_numpy().astype(np.uint64)
+        # wrapping uint64 mix; bucket skew is irrelevant here (each
+        # bucket only runs a vectorized drop_duplicates)
+        df["__dbucket"] = (((a * h1) ^ (b * h2)) % num_buckets).astype(
+            np.int32
+        )
+        return df
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop(columns="__dbucket").drop_duplicates()
+
+    return (
+        pairs.map_batches(local, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
+def distinct_pair_ids_ds(
+    pairs: "ray.data.Dataset",
+    col_a: str = "doc_id_a",
+    col_b: str = "doc_id_b",
+    out_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distinct ids appearing on either side of a pair stream, as a
+    Dataset (same combiner-first shape as ``distinct_pairs_ds``)."""
+    import numpy as np
+    import pandas as pd
+
+    from .joins import NO_FUSE_NUM_CPUS
+
+    h1 = np.uint64(_PAIR_H1)
+
+    def local(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pd.unique(
+            np.concatenate([df[col_a].to_numpy(), df[col_b].to_numpy()])
+        )
+        out = pd.DataFrame({out_col: ids.astype("int64")})
+        out["__dbucket"] = (
+            (out[out_col].to_numpy().astype(np.uint64) * h1) % num_buckets
+        ).astype(np.int32)
+        return out
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop(columns="__dbucket").drop_duplicates()
+
+    return (
+        pairs.map_batches(local, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )

@@ -309,3 +309,66 @@ def test_bloom_distributed_build_matches_serial():
     assert (bf.m, bf.k) == (serial.m, serial.k)
     assert np.array_equal(bf.bits, serial.bits)
     assert all(k in bf for k in keys)
+
+
+def test_embedding_lsh_planted_high_threshold(tmp_path):
+    """Realistic near-dup regime (threshold 0.9): the tuner picks deep
+    bands (r=10, B=58 — strong pruning), and the miner still exactly
+    matches the exact path on planted near-identical vectors among
+    random noise."""
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.05, size=64)  # cosine ~0.999
+    noise = rng.normal(size=(60, 64))
+    mat = np.vstack([base, near, noise]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    from finance_sc_relations_ray.pipelines.mlops import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+        lsh_pair_params,
+    )
+
+    assert lsh_pair_params(0.9) == (10, 58)
+    exact = embedding_dup_pairs(str(tmp_path), threshold=0.9)
+    lsh = embedding_dup_pairs_lsh(str(tmp_path), threshold=0.9)
+    assert len(exact) >= 1  # the planted pair
+    assert (0, 1) in set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    assert exact[["vec_id_a", "vec_id_b"]].values.tolist() == \
+        lsh[["vec_id_a", "vec_id_b"]].values.tolist()
+    assert np.allclose(exact["cosine"], lsh["cosine"], atol=1e-6)
+
+
+def test_embedding_lsh_star_cap(tmp_path):
+    """A degenerate bucket (many identical vectors sharing every band)
+    must verify star pairs only — bounded O(n), connectivity kept."""
+    same = np.ones(16, dtype=np.float32)
+    mat = np.tile(same, (25, 1))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(25), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    from finance_sc_relations_ray.pipelines.mlops import (
+        embedding_dup_pairs_lsh,
+    )
+
+    out = embedding_dup_pairs_lsh(
+        str(tmp_path), threshold=0.9, max_bucket_vecs=10
+    )
+    # star: every pair anchors at vec 0; all-pairs would be C(25,2)
+    assert (out["vec_id_a"] == 0).all()
+    assert sorted(out["vec_id_b"]) == list(range(1, 25))
+    assert (out["cosine"] == 1.0).all()

@@ -27,3 +27,25 @@ def test_lsh_and_exact_agree():
     ee = exact.set_index(["doc_id_a", "doc_id_b"])["jaccard"]
     for k in lsh_pairs:
         assert abs(le[k] - ee[k]) < 1e-6
+
+
+def test_embedding_lsh_and_exact_agree():
+    """The sign-LSH pair miner (no broadcast, within-bucket verify)
+    must find exactly the exact-path pairs on the driver's testdata:
+    worst-case per-pair miss at cosine 0.4 is < 1e-6 (lsh_pair_params),
+    and the within-bucket matmul makes cosines bit-identical."""
+    from finance_sc_relations_ray.pipelines.mlops import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    exact = embedding_dup_pairs(SF)
+    lsh = embedding_dup_pairs_lsh(SF)
+    ep = set(zip(exact["vec_id_a"], exact["vec_id_b"]))
+    lp = set(zip(lsh["vec_id_a"], lsh["vec_id_b"]))
+    assert lp <= ep  # exact verify → no false positives
+    assert lp == ep, sorted(ep - lp)
+    le = lsh.set_index(["vec_id_a", "vec_id_b"])["cosine"]
+    ee = exact.set_index(["vec_id_a", "vec_id_b"])["cosine"]
+    for k in lp:
+        assert abs(le[k] - ee[k]) < 1e-6
