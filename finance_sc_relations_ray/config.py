@@ -73,10 +73,30 @@ class KGConfig:
     # "heuristic" (capitalized-run + corp-suffix — recognizes unseen
     # names); real spaCy/HF models register in stages/ner.make_tagger
     ner_backend: str = "gazetteer"
+    # RE-scorer backend (ST3 seam): "rule" or "heavy_fake" (the
+    # real-model-sized fake, stages/backends.py); a sec-bert forward
+    # registers in stages/scoring.make_scorer
+    re_backend: str = "rule"
+    # GPU fraction per model actor: 0 on CPU stubs; a real GPU model
+    # sets e.g. 0.25 to pack 4 actors per device (the reference runs
+    # NER/RE on GPU instances, spacy_loader.py require_gpu). Plumbed
+    # into every model-stage map_batches via actor_resources().
+    actor_num_gpus: float = 0.0
     # bench realism: extend the stub gazetteer with this many synthetic
     # entities so the entity space (and therefore the dedup exchange)
     # grows with the input instead of saturating (gazetteer.py)
     extra_entities: int = 0
+
+
+def actor_resources(config: "KGConfig") -> dict:
+    """Per-actor resource kwargs for the model-stage ``map_batches``
+    calls: the fractional CPU reservation always; ``num_gpus`` only
+    when configured (passing num_gpus=0 would still register a GPU
+    requirement with the scheduler)."""
+    kw: dict = {"num_cpus": config.actor_num_cpus}
+    if config.actor_num_gpus:
+        kw["num_gpus"] = config.actor_num_gpus
+    return kw
 
 
 INVERSE_RELATION = {"supplier": "customer", "customer": "supplier", "other": "other"}

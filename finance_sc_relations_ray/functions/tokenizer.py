@@ -153,3 +153,21 @@ def pad_collate(
     for i, s in enumerate(seqs):
         out[i, : len(s)] = s
     return out, lengths
+
+
+def tokenizer_markers_survive(tokenizer, text: str) -> bool:
+    """Marker-survival check for an ARBITRARY tokenizer backend. The
+    fast piece-counting short-circuit (``markers_survive``) mirrors
+    StubTokenizer's id arithmetic exactly — so it is applied ONLY when
+    the tokenizer IS a StubTokenizer; any other backend (a real BERT
+    tokenizer swap) goes through the general
+    ``get_e1e2_start(tokenizer.encode(text))`` path, so a swapped
+    tokenizer can never silently pair with the stub shortcut (r2
+    ADVICE item: the shortcut would otherwise keep/drop the wrong rows
+    after a real-tokenizer swap)."""
+    if type(tokenizer) is StubTokenizer:
+        return markers_survive(text, tokenizer.max_len)
+    ids = tokenizer.encode(text)
+    e1 = getattr(tokenizer, "e1_id", E1_ID)
+    e2 = getattr(tokenizer, "e2_id", E2_ID)
+    return get_e1e2_start(ids, e1, e2) is not None

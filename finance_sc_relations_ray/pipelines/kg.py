@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..config import DEFAULT_CONFIG, KGConfig
+from ..config import actor_resources, DEFAULT_CONFIG, KGConfig
 from ..gazetteer import company_db_table
 from ..stages import extract, ner, scoring
 from ..stages.doc_agg import DOC_RELATIONS_SCHEMA, aggregate_bucket
@@ -68,7 +68,7 @@ def scored_pairs_dataset(
             batch_format="pyarrow",
             batch_size=config.ner_batch_size,
             concurrency=config.ner_concurrency,
-            num_cpus=config.actor_num_cpus,
+            **actor_resources(config),
         )
         .map_batches(
             scoring.ScGateActor,
@@ -76,7 +76,7 @@ def scored_pairs_dataset(
             batch_format="pyarrow",
             batch_size=config.ner_batch_size,
             concurrency=config.sc_concurrency,
-            num_cpus=config.actor_num_cpus,
+            **actor_resources(config),
         )
         .map_batches(scoring.gate_filter, batch_format="pyarrow")
         .map_batches(
@@ -91,7 +91,7 @@ def scored_pairs_dataset(
             batch_format="pyarrow",
             batch_size=config.re_batch_size,
             concurrency=config.re_concurrency,
-            num_cpus=config.actor_num_cpus,
+            **actor_resources(config),
         )
     )
 
@@ -109,7 +109,7 @@ def fused_scored_pairs_dataset(
         batch_format="pyarrow",
         batch_size=config.ner_batch_size,
         concurrency=config.ner_concurrency,
-        num_cpus=config.actor_num_cpus,
+        **actor_resources(config),
     )
 
 
@@ -174,7 +174,7 @@ def linked_dataset(
         batch_format="pyarrow",
         batch_size=config.link_batch_size,
         concurrency=config.link_concurrency,
-            num_cpus=config.actor_num_cpus,
+            **actor_resources(config),
     )
 
 
@@ -288,7 +288,7 @@ def alias_items_dataset(
         batch_format="pyarrow",
         batch_size=config.link_batch_size,
         concurrency=config.link_concurrency,
-        num_cpus=config.actor_num_cpus,
+        **actor_resources(config),
     )
 
 
@@ -424,7 +424,7 @@ def build_kg_pipeline(
             batch_format="pyarrow",
             batch_size=64,
             concurrency=config.ner_concurrency,
-            num_cpus=config.actor_num_cpus,
+            **actor_resources(config),
         )
         if _emit_linked:
             return linked

@@ -39,7 +39,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..config import DEFAULT_CONFIG, KGConfig
+from ..config import actor_resources, DEFAULT_CONFIG, KGConfig
 from ..state.manifest import Manifest
 from ..stages.shuffle import salted_dedup
 from ..stages.triples import to_triples_batch
@@ -118,7 +118,7 @@ def run_partitioned(
                 batch_format="pyarrow",
                 batch_size=64,
                 concurrency=config.ner_concurrency,
-                num_cpus=config.actor_num_cpus,
+                **actor_resources(config),
             )
             triples = linked.map_batches(
                 functools.partial(to_triples_batch, config=config),

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..config import DEFAULT_CONFIG, KGConfig
+from ..config import actor_resources, DEFAULT_CONFIG, KGConfig
 from ..functions.fuzzy import hash_split
 from ..functions.tagging import inverse_relations
 from ..config import INVERSE_RELATION
@@ -116,7 +116,7 @@ def build_training_data(
         batch_format="pyarrow",
         batch_size=config.ner_batch_size,
         concurrency=config.ner_concurrency,
-        num_cpus=config.actor_num_cpus,
+        **actor_resources(config),
     )
 
     # doc-level split: a stateless hash of the url (functions/fuzzy.py

@@ -1,0 +1,168 @@
+"""Model-backend contract: what any NER tagger / RE scorer / tokenizer
+/ name encoder must satisfy to slot into the actor-pool stages, plus a
+deliberately HEAVYWEIGHT fake backend that proves the actor plumbing
+(init-once-per-actor, big resident state, slow load) holds for a
+real-model-sized payload.
+
+The reference swaps concrete models behind exactly these seams — spaCy
+``en_core_web_trf`` NER (reference src/language_model/spacy_loader.py:115-143),
+sec-bert RE/SC forwards (src/relation_extraction/re_transfomers/re_trf.py:22-65,
+src/sc_classifier/trainer.py:512-538), the pickled BERT tokenizer
+(src/relation_extraction/preprocessing_funcs.py:360-381) and the SimCSE
+name encoder (src/matcher/core.py:23-56). None of those weights exist
+in this environment, so the swap seam itself is the tested surface:
+"bring your own weights" means passing :func:`check_tagger_contract`
+(etc.) and then selecting the backend via ``KGConfig.ner_backend`` /
+``KGConfig.re_backend``.
+
+Contract expectations are ported from the reference's own model test
+(reference test/test_language_model.py:1-32 — span/alias/grouping
+coherence on a known sentence) plus the structural invariants the Ray
+stages rely on (ordered non-overlapping spans, per-call purity,
+determinism, marker semantics).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+# --------------------------------------------------------- contracts ---
+def check_tagger_contract(tagger, sents: list[str]) -> None:
+    """Assert the NER-backend contract the actor stages rely on:
+
+    - ``spans(sent)`` returns ``list[dict]`` with exactly the span-dict
+      shape of reference spacy_loader.py:84-97 (text/label/start/end);
+    - offsets are valid and ``sent[start:end] == text``;
+    - spans are ordered by start and non-overlapping (entity tagging
+      inserts markers by offset — overlap would corrupt the sentence);
+    - deterministic: same input → same output;
+    - pure per call: a sentence's spans do not depend on what the
+      tagger saw before (actors process arbitrary batch interleavings).
+    """
+    first_pass = [tagger.spans(s) for s in sents]
+    for sent, spans in zip(sents, first_pass):
+        assert isinstance(spans, list)
+        prev_end = 0
+        for sp in spans:
+            assert set(sp.keys()) >= {"text", "label", "start", "end"}, sp
+            assert isinstance(sp["text"], str) and isinstance(sp["label"], str)
+            assert 0 <= sp["start"] < sp["end"] <= len(sent), sp
+            assert sent[sp["start"]:sp["end"]] == sp["text"], sp
+            assert sp["start"] >= prev_end, f"overlapping/unordered: {sp}"
+            prev_end = sp["end"]
+    # determinism
+    assert [tagger.spans(s) for s in sents] == first_pass
+    # purity: each sentence alone gives the same spans as in sequence
+    for sent, spans in zip(reversed(sents), reversed(first_pass)):
+        assert tagger.spans(sent) == spans
+
+
+def check_scorer_contract(scorer, tagged_samples: list[str]) -> None:
+    """Assert the RE-scorer contract: ``score(tagged)`` returns one
+    finite non-negative float per label (reference softmax over
+    {supplier, customer, other}, infer.py:337-353), deterministically
+    and purely."""
+    from .scoring import LABELS
+
+    first = [scorer.score(t) for t in tagged_samples]
+    for scores in first:
+        assert len(scores) == len(LABELS)
+        assert all(np.isfinite(s) and s >= 0 for s in scores), scores
+    assert [scorer.score(t) for t in tagged_samples] == first
+    for t, scores in zip(reversed(tagged_samples), reversed(first)):
+        assert scorer.score(t) == scores
+
+
+def check_tokenizer_contract(tokenizer, samples: list[str]) -> None:
+    """Assert the tokenizer contract ``prepare_for_scoring`` relies on:
+    ``encode(text)`` → list[int] of length ≤ ``max_len``; marker tokens
+    encode to the ids advertised as ``e1_id`` / ``e2_id``; and
+    ``tokenizer_markers_survive`` agrees with the ground-truth
+    ``get_e1e2_start(encode(...))`` on every sample (the r2-ADVICE
+    dispatch guarantee)."""
+    from ..functions.tokenizer import (
+        get_e1e2_start,
+        tokenizer_markers_survive,
+    )
+
+    max_len = tokenizer.max_len
+    assert isinstance(max_len, int) and max_len > 0
+    e1, e2 = tokenizer.e1_id, tokenizer.e2_id
+    for text in samples:
+        ids = tokenizer.encode(text)
+        assert isinstance(ids, list) and len(ids) <= max_len
+        assert all(isinstance(i, int) for i in ids)
+        assert ids == tokenizer.encode(text)  # deterministic
+        truth = get_e1e2_start(ids, e1, e2) is not None
+        assert tokenizer_markers_survive(tokenizer, text) == truth, text
+
+
+def check_encoder_contract(encode_fn, names: list[str]) -> None:
+    """Assert the name-encoder contract (SimCSE seam, reference
+    matcher/core.py:23-56): one fixed-dim finite vector per name,
+    deterministic, and order-independent (encoding is per-name, so a
+    permuted input must yield the permuted output)."""
+    vecs = encode_fn(names)
+    assert len(vecs) == len(names)
+    dims = {np.asarray(v).shape for v in vecs}
+    assert len(dims) == 1, f"mixed dims: {dims}"
+    for v in vecs:
+        assert np.all(np.isfinite(np.asarray(v)))
+    again = encode_fn(names)
+    for a, b in zip(vecs, again):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    perm = list(reversed(names))
+    pvecs = encode_fn(perm)
+    for name, pv in zip(perm, pvecs):
+        orig = vecs[names.index(name)]
+        assert np.array_equal(np.asarray(pv), np.asarray(orig))
+
+
+# ------------------------------------------------------- heavy fakes ---
+class HeavyFakeTagger:
+    """CLEARLY-MARKED FAKE backend sized like a real model: ``__init__``
+    allocates ``state_mb`` of resident state and sleeps
+    ``init_delay_s`` (a transformer checkpoint load), then delegates
+    span prediction to the gazetteer — so e2e outputs are verifiable
+    against the gazetteer run while the COST PROFILE exercises the
+    actor-pool guarantees (init exactly once per actor, state stays
+    resident across batches, batch wall-time unaffected by state
+    size). ``spans`` touches the state every call so a
+    lazily-materialized fake cannot pass."""
+
+    def __init__(self, state_mb: int = 256, init_delay_s: float = 1.0):
+        from .ner import GazetteerTagger
+
+        time.sleep(init_delay_s)
+        # non-trivial content: a checksum over it is read per call
+        self._state = np.arange(
+            state_mb * 1024 * 1024 // 8, dtype=np.int64
+        )
+        self._probe = int(self._state[::1_000_000].sum())
+        self._delegate = GazetteerTagger()
+        self.init_count = getattr(self, "init_count", 0) + 1
+
+    def spans(self, sent: str) -> list[dict]:
+        # touch resident state (bounded stride read, not a full scan)
+        assert int(self._state[::1_000_000].sum()) == self._probe
+        return self._delegate.spans(sent)
+
+
+class HeavyFakeScorer:
+    """Heavyweight RE-scorer fake: same rationale as
+    :class:`HeavyFakeTagger`, delegating to the rule scorer."""
+
+    def __init__(self, state_mb: int = 128, init_delay_s: float = 0.5):
+        from .scoring import RuleReScorer
+
+        time.sleep(init_delay_s)
+        self._state = np.arange(state_mb * 1024 * 1024 // 8, dtype=np.int64)
+        self._probe = int(self._state[::1_000_000].sum())
+        self._delegate = RuleReScorer()
+
+    def score(self, tagged: str) -> list[float]:
+        assert int(self._state[::1_000_000].sum()) == self._probe
+        return self._delegate.score(tagged)

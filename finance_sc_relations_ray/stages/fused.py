@@ -29,7 +29,7 @@ from ..functions.grouping import detect_alias_candidates, filter_aliases, group_
 from ..functions.names import encode_names, similarity
 from ..functions.tagging import entity_annotation, inverse_relations
 from .ner import ALIAS_T, ORG_GROUP_T, make_tagger
-from .scoring import _SUPPLY_RE, RuleReScorer, _representative, prepare_for_scoring
+from .scoring import _SUPPLY_RE, _representative, make_scorer, prepare_for_scoring
 from .schema import check_schema
 
 SCORED_PAIRS_SCHEMA = pa.schema(
@@ -55,7 +55,7 @@ class SentencePairScorer:
         self.config = config
         self.reverse = reverse
         self.tagger = make_tagger(config)
-        self.re_model = RuleReScorer()
+        self.re_model = make_scorer(config)
         self.supply_re = _SUPPLY_RE
         self.tokenizer = StubTokenizer(config.max_token_len)
         self.n_dropped_markers = 0  # cumulative M10 drop count

@@ -120,9 +120,15 @@ class HeuristicOrgTagger:
 
 def make_tagger(config: KGConfig):
     """Backend registry (M2/M2'): ``config.ner_backend`` selects the
-    tagger class; real spaCy/HF models slot in here."""
+    tagger class; real spaCy/HF models slot in here. Any backend must
+    pass ``stages.backends.check_tagger_contract`` — "heavy_fake" is
+    the real-model-sized fake proving the actor plumbing holds."""
     if config.ner_backend == "heuristic":
         return HeuristicOrgTagger()
+    if config.ner_backend == "heavy_fake":
+        from .backends import HeavyFakeTagger
+
+        return HeavyFakeTagger()
     return GazetteerTagger(extra_entities=config.extra_entities)
 
 

@@ -170,6 +170,17 @@ class RuleReScorer:
         return None
 
 
+def make_scorer(config: KGConfig):
+    """RE-scorer backend registry (ST3 seam): ``config.re_backend``
+    selects the scorer; a real sec-bert forward slots in here. Any
+    backend must pass ``stages.backends.check_scorer_contract``."""
+    if config.re_backend == "heavy_fake":
+        from .backends import HeavyFakeScorer
+
+        return HeavyFakeScorer()
+    return RuleReScorer()
+
+
 def prepare_for_scoring(
     tagged: str, org_groups, config: KGConfig, tokenizer
 ) -> str | None:
@@ -180,7 +191,7 @@ def prepare_for_scoring(
     mutate=True), then marker-survival check after stub tokenization +
     truncation. Returns the text to score, or None → drop + count.
     ``org_groups`` is the list<struct{name,gid}> cell or None."""
-    from ..functions.tokenizer import markers_survive
+    from ..functions.tokenizer import tokenizer_markers_survive
 
     if config.mutate_before_scoring and org_groups:
         from ..functions.tagging import mutate_sent
@@ -191,9 +202,9 @@ def prepare_for_scoring(
             seed_key=tagged,
         )
     if config.tokenize_markers:
-        # short-circuit equivalent of
-        # get_e1e2_start(tokenizer.encode(tagged)) is None
-        if not markers_survive(tagged, tokenizer.max_len):
+        # dispatches: StubTokenizer → fast short-circuit; any other
+        # backend → general get_e1e2_start(tokenizer.encode(...)) path
+        if not tokenizer_markers_survive(tokenizer, tagged):
             return None
     return tagged
 
@@ -215,7 +226,7 @@ class ReScorerActor:
 
         self.config = config
         self.reverse = reverse
-        self.model = RuleReScorer()
+        self.model = make_scorer(config)
         self.tokenizer = StubTokenizer(config.max_token_len)
         self.n_dropped_markers = 0
 

@@ -1,0 +1,196 @@
+"""Backend contract suite (model seam, SURVEY.md ST1-ST5): every NER
+tagger / RE scorer / tokenizer / name encoder backend must satisfy the
+documented contract in stages/backends.py, and a deliberately
+HEAVYWEIGHT fake (real-model-sized state + slow init) proves the
+actor-pool guarantees — init exactly once per actor, state resident
+across batches — that a real spaCy/sec-bert swap relies on.
+
+Expectations ported from reference test/test_language_model.py:1-32
+(span/alias coherence on a known multi-org sentence) plus the
+structural invariants the Ray stages need."""
+
+import time
+
+import pytest
+import ray
+
+from finance_sc_relations_ray.config import KGConfig, actor_resources
+from finance_sc_relations_ray.functions.names import encode_names
+from finance_sc_relations_ray.functions.tokenizer import StubTokenizer
+from finance_sc_relations_ray.stages.backends import (
+    HeavyFakeScorer,
+    HeavyFakeTagger,
+    check_encoder_contract,
+    check_scorer_contract,
+    check_tagger_contract,
+    check_tokenizer_contract,
+)
+from finance_sc_relations_ray.stages.ner import (
+    GazetteerTagger,
+    HeuristicOrgTagger,
+    NerActor,
+    make_tagger,
+)
+from finance_sc_relations_ray.stages.scoring import RuleReScorer, make_scorer
+
+SENTS = [
+    # the reference's own model-test sentence shape (multi-org listing)
+    'Hewlett-Packard reports that "Cisco", NetApp Inc, Lenovo Group '
+    "Ltd and International Business Machines Corporation supplied "
+    "Apple Inc.",
+    "Acme Widget Corp is a supplier of Global Mega Ltd.",
+    "lowercase text with no organizations at all",
+    "",
+]
+
+TAGGED = [
+    "[E1]Acme Corp[/E1] supplied [E2]Mega Ltd[/E2] last year.",
+    "[E1]Acme Corp[/E1] and [E2]Mega Ltd[/E2] appear unrelated.",
+    "customers, including [E1]Acme[/E1] accounted for sales "
+    "attributable to [E2]Mega[/E2]",
+]
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [
+        GazetteerTagger,
+        HeuristicOrgTagger,
+        lambda: HeavyFakeTagger(state_mb=32, init_delay_s=0.0),
+    ],
+    ids=["gazetteer", "heuristic", "heavy_fake"],
+)
+def test_tagger_contract(factory):
+    check_tagger_contract(factory(), SENTS)
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [RuleReScorer, lambda: HeavyFakeScorer(state_mb=16, init_delay_s=0.0)],
+    ids=["rule", "heavy_fake"],
+)
+def test_scorer_contract(factory):
+    check_scorer_contract(factory(), TAGGED)
+
+
+class CharTokenizer:
+    """A NON-stub tokenizer backend (one id per character) whose
+    truncation points differ from StubTokenizer's — exercises the
+    general ``tokenizer_markers_survive`` dispatch path (r2 ADVICE:
+    the stub shortcut must never pair with a swapped tokenizer)."""
+
+    e1_id = 3
+    e2_id = 5
+    _markers = {"[E1]": 3, "[/E1]": 4, "[E2]": 5, "[/E2]": 6}
+
+    def __init__(self, max_len: int = 64):
+        self.max_len = max_len
+
+    def encode(self, text: str) -> list[int]:
+        import re
+
+        ids = [0]
+        for piece in re.split(r"(\[E1\]|\[/E1\]|\[E2\]|\[/E2\])", text):
+            if piece in self._markers:
+                ids.append(self._markers[piece])
+            else:
+                ids.extend(8 + (ord(c) % 1000) for c in piece)
+        ids.append(1)
+        return ids[: self.max_len]
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [lambda: StubTokenizer(32), lambda: CharTokenizer(32)],
+    ids=["stub", "char"],
+)
+def test_tokenizer_contract(factory):
+    # samples straddle the truncation boundary for both backends
+    samples = TAGGED + [
+        "x " * 40 + "[E1]Acme[/E1] supplied [E2]Mega[/E2]",
+        "[E1]Acme[/E1] " + "filler " * 30 + "[E2]Mega[/E2]",
+        "no markers at all " * 5,
+    ]
+    check_tokenizer_contract(factory(), samples)
+
+
+def test_tokenizer_dispatch_diverges_where_backends_differ():
+    """A text whose markers survive the stub's 4-char-piece budget but
+    NOT the char tokenizer's per-character budget: the dispatcher must
+    report each backend's own truth, proving it never short-circuits
+    through the stub math for a foreign tokenizer."""
+    from finance_sc_relations_ray.functions.tokenizer import (
+        tokenizer_markers_survive,
+    )
+
+    text = "abcdefgh " * 6 + "[E1]A[/E1] [E2]B[/E2]"
+    stub, char = StubTokenizer(32), CharTokenizer(32)
+    assert tokenizer_markers_survive(stub, text) is True
+    assert tokenizer_markers_survive(char, text) is False
+
+
+def test_encoder_contract():
+    check_encoder_contract(
+        encode_names, ["Acme Corp", "Global Mega Ltd", "IBM", "acme corp"]
+    )
+
+
+def test_backend_registries():
+    assert isinstance(
+        make_tagger(KGConfig(ner_backend="heuristic")), HeuristicOrgTagger
+    )
+    assert isinstance(make_scorer(KGConfig(re_backend="rule")), RuleReScorer)
+    # heavy fakes resolve through the same registries
+    cfg = KGConfig(ner_backend="heavy_fake", re_backend="heavy_fake")
+    assert isinstance(make_tagger(cfg), HeavyFakeTagger)
+    assert isinstance(make_scorer(cfg), HeavyFakeScorer)
+
+
+def test_actor_resources_gpu_fraction():
+    assert actor_resources(KGConfig()) == {"num_cpus": 0.5}
+    kw = actor_resources(KGConfig(actor_num_gpus=0.25))
+    assert kw == {"num_cpus": 0.5, "num_gpus": 0.25}
+
+
+def test_heavy_fake_actor_pool_init_once(ray_session):
+    """The heavyweight backend through the REAL NerActor stage: 256 MB
+    state + 1 s simulated checkpoint load per actor. With 2 actors and
+    25 batches, per-batch re-init would cost ≥ 25 s of init alone;
+    init-once keeps the run far under that, and the outputs must equal
+    the gazetteer run exactly (the fake delegates prediction)."""
+    rows = [
+        {
+            "url": f"u{i}",
+            "sent_id": i,
+            "sent": "Apple Inc supplied Foxconn Technology Co Ltd.",
+        }
+        for i in range(200)
+    ]
+    ds = ray.data.from_items(rows).repartition(25)
+
+    def run(backend):
+        cfg = KGConfig(ner_backend=backend)
+        return (
+            ds.map_batches(
+                NerActor,
+                fn_constructor_kwargs={"config": cfg},
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+                **actor_resources(cfg),
+            )
+            .to_pandas()
+            .sort_values("sent_id")
+            .reset_index(drop=True)
+        )
+
+    t0 = time.time()
+    heavy = run("heavy_fake")
+    heavy_wall = time.time() - t0
+    base = run("gazetteer")
+    assert heavy_wall < 20, f"suspect per-batch re-init: {heavy_wall:.1f}s"
+    assert heavy["num_orgs"].tolist() == base["num_orgs"].tolist()
+    assert [list(map(dict, s)) if s is not None else None
+            for s in heavy["spans"]] == \
+           [list(map(dict, s)) if s is not None else None
+            for s in base["spans"]]
