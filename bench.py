@@ -130,8 +130,32 @@ def run_bench() -> dict:
         ).count()
         kg_sat_sec = time.perf_counter() - t0
 
+    # the production shape (r2 verdict #9): partitioned runner with
+    # manifest + crash-safe compaction + global merge — benched per
+    # round so regressions in that path are caught, not just the
+    # in-memory pipeline
+    import shutil
+
+    from finance_sc_relations_ray.pipelines.run import (
+        merge_parts,
+        run_partitioned,
+    )
+
+    part_dir = "/tmp/bench_kg_parts"
+    shutil.rmtree(part_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_partitioned(
+        pages_path, part_dir, num_parts=max(8, ncpu // 4), config=cfg
+    )
+    part_triples = merge_parts(part_dir).count()
+    kg_part_sec = time.perf_counter() - t0
+    shutil.rmtree(part_dir, ignore_errors=True)
+
     qs = entry.queries()
-    timings: dict[str, float] = {"kg_pipeline": round(kg_sec, 3)}
+    timings: dict[str, float] = {
+        "kg_pipeline": round(kg_sec, 3),
+        "kg_partitioned": round(kg_part_sec, 3),
+    }
     if kg_sat_sec is not None:
         timings["kg_pipeline_saturated"] = round(kg_sat_sec, 3)
     import ray.data as _rd
@@ -153,6 +177,8 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "n_docs": int(n_docs),
         "n_triples": int(triples),
+        "n_triples_partitioned": int(part_triples),
+        "docs_per_sec_partitioned": round(n_docs / kg_part_sec, 1),
         "extra_entities": extra_entities,
         "docs_per_sec_saturated": (
             round(n_docs / kg_sat_sec, 1) if kg_sat_sec else None

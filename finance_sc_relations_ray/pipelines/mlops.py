@@ -12,6 +12,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
+
+from ..sources.io import sized_read_parquet
 from ray.data.aggregate import Count, Sum
 
 from ..functions.fuzzy import stratified_doc_split
@@ -20,7 +22,7 @@ from ..functions.textops import token_count
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return sized_read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
     )
 

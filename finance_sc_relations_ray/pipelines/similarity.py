@@ -19,9 +19,11 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..sources.io import sized_read_parquet
+
 
 def _read(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(
+    return sized_read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
 

@@ -195,10 +195,21 @@ class PageKGActor(SentencePairScorer):
             if "lang" in batch.column_names
             else ["en"] * batch.num_rows
         )
+        # optional partition lineage: when the partitioned runner tags
+        # pages with a ``__part`` file-group id, every emitted doc row
+        # inherits its page's part so one chunk-wide execution can
+        # still write/mark parts independently (pipelines/run.py)
+        parts = (
+            batch["__part"].to_pylist()
+            if "__part" in batch.column_names
+            else None
+        )
+        out_parts: list[int] = []
         dead: list[dict] = []
-        for url, html, lang in zip(
+        for row_i, (url, html, lang) in enumerate(zip(
             batch["url"].to_pylist(), batch["html"].to_pylist(), langs
-        ):
+        )):
+            n_before = len(agg_out["url"])
             if lang != "en":
                 continue
             # poison-row quarantine (SURVEY.md §4): one malformed page
@@ -241,17 +252,26 @@ class PageKGActor(SentencePairScorer):
                         "score": 0.0,
                         "sentence_ids": [],
                         "n_pairs": 0,
+                        "__part": parts[row_i] if parts is not None else None,
                     }
+                )
+            if parts is not None:
+                out_parts.extend(
+                    [parts[row_i]] * (len(agg_out["url"]) - n_before)
                 )
         for d in dead:
             for k in DOC_RELATIONS_SCHEMA.names:
                 agg_out[k].append(d[k])
+            if parts is not None:
+                out_parts.append(d["__part"])
         out = pa.table(
             {name: pa.array(agg_out[name],
                             type=DOC_RELATIONS_SCHEMA.field(name).type)
              for name in DOC_RELATIONS_SCHEMA.names}
         )
         check_schema(out, DOC_RELATIONS_SCHEMA, "page_kg")
+        if parts is not None:
+            out = out.append_column("__part", pa.array(out_parts, pa.int32()))
         if self.linker is not None:
             out = self.linker.link_batch(out)
         return out
