@@ -133,7 +133,14 @@ class HeavyFakeTagger:
     size). ``spans`` touches the state every call so a
     lazily-materialized fake cannot pass."""
 
+    #: test-only init ledger: every __init__ appends one line here, so
+    #: a test can prove init-once STRUCTURALLY (line count == pool
+    #: size) instead of via a load-sensitive wall-clock bound
+    INIT_LOG = "/tmp/fscr_heavy_init.log"
+
     def __init__(self, state_mb: int = 256, init_delay_s: float = 1.0):
+        import os
+
         from .ner import GazetteerTagger
 
         time.sleep(init_delay_s)
@@ -144,6 +151,11 @@ class HeavyFakeTagger:
         self._probe = int(self._state[::1_000_000].sum())
         self._delegate = GazetteerTagger()
         self.init_count = getattr(self, "init_count", 0) + 1
+        try:
+            with open(self.INIT_LOG, "a") as fh:
+                fh.write(f"{os.getpid()}\n")
+        except OSError:
+            pass
 
     def spans(self, sent: str) -> list[dict]:
         # touch resident state (bounded stride read, not a full scan)
