@@ -18,6 +18,8 @@ nothing here (nor in the library) calls ``ray.init``/``ray.shutdown``.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 from typing import Any
 
@@ -186,7 +188,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": T.dedup_exact,
         "span_dedup_documents": T.span_dedup_documents,
         "filter_quality_documents": T.filter_quality_documents,
-        "minhash_dup_pairs": T.minhash_dup_pairs,
+        # oracle-gated: the degenerate-bucket star cap is deliberately
+        # not modeled in the SQL oracle (cannot trigger at gate scale);
+        # raise loudly if it ever would, instead of hash-mismatching
+        "minhash_dup_pairs": functools.partial(
+            T.minhash_dup_pairs, on_degenerate="raise"
+        ),
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "dup_clusters": T.dup_clusters,
         "heavy_hitter_tokens": T.heavy_hitter_tokens,

@@ -109,12 +109,15 @@ def stratified_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataF
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def hash_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataFrame:
-    """Stateless hash-based doc split (O4's 100-TB form): the assignment
-    is a pure function of ``doc_id`` computed inside ``map_batches`` —
-    no driver map, no broadcast, no shuffle, independent of block
-    boundaries. Uses the md5 variant so a DuckDB oracle can verify the
-    exact per-document assignment (see ``oracle_sql``)."""
+def hash_split_documents_ds(
+    sf_dir: str, valid_frac: float = 0.2
+) -> "ray.data.Dataset":
+    """Stateless hash-based doc split, DATASET core (O4's 100-TB form):
+    the assignment is a pure function of ``doc_id`` computed inside
+    ``map_batches`` — no driver map, no broadcast, no shuffle,
+    independent of block boundaries. Uses the md5 variant so a DuckDB
+    oracle can verify the exact per-document assignment (see
+    ``oracle_sql``)."""
     from ..functions.fuzzy import md5_hash_split
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -128,11 +131,14 @@ def hash_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataFrame:
             }
         )
 
-    out = (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(assign, batch_format="pyarrow")
-        .to_pandas()
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
     )
+
+
+def hash_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataFrame:
+    """Pandas shim over :func:`hash_split_documents_ds` (oracle gate)."""
+    out = hash_split_documents_ds(sf_dir, valid_frac).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -223,13 +229,13 @@ def _lsh_planes(dim: int, n: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n, dim))
 
 
-def embedding_dup_pairs_lsh(
+def embedding_dup_pairs_lsh_ds(
     sf_dir: str,
     threshold: float = 0.4,
     target_miss: float = 1e-6,
     max_bands: int = 64,
     max_bucket_vecs: int = 2000,
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via sign-LSH banding — the SCALE
     path for ``embedding_dup_pairs`` (r2 verdict item #2): NOTHING is
     broadcast and the full similarity matrix is never formed. Each
@@ -381,12 +387,25 @@ def embedding_dup_pairs_lsh(
             .drop_duplicates(subset=["vec_id_a", "vec_id_b"])
         )
 
-    out = (
+    return (
         verified.map_batches(local, batch_format="pandas")
         .groupby("__dbucket")
         .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
-        .to_pandas()
     )
+
+
+def embedding_dup_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    target_miss: float = 1e-6,
+    max_bands: int = 64,
+    max_bucket_vecs: int = 2000,
+) -> pd.DataFrame:
+    """Pandas shim over :func:`embedding_dup_pairs_lsh_ds` (r2 verdict
+    #8: the distributed core stays composable as a Dataset)."""
+    out = embedding_dup_pairs_lsh_ds(
+        sf_dir, threshold, target_miss, max_bands, max_bucket_vecs
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"vec_id_a": pd.Series([], dtype="int64"),
@@ -396,16 +415,20 @@ def embedding_dup_pairs_lsh(
     return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
 
 
-def sample_documents_consistent(sf_dir: str, k: int = 100) -> pd.DataFrame:
-    """Deterministic uniform k-sample: keep the k documents with the
-    SMALLEST md5(seed|doc_id) — a consistent ("bottom-k") sample. Fully
-    distributed and mergeable: each batch emits only its local k
-    smallest hashes, the driver reduce sees ≤ k × n_batches rows, and
+def sample_documents_consistent_ds(
+    sf_dir: str, k: int = 100
+) -> "ray.data.Dataset":
+    """Deterministic uniform k-sample, DATASET core: keep the k
+    documents with the SMALLEST md5(seed|doc_id) — a consistent
+    ("bottom-k") sample. Fully distributed and mergeable: each batch
+    emits only its local k smallest hashes, the final reduce is a
+    distributed sort+limit over ≤ k × n_batches candidate rows, and
     the result is independent of partitioning, batch order and
     parallelism (unlike reservoir sampling, whose state depends on
     arrival order). Also composable: the union of two tables' bottom-k
     samples contains the union's bottom-k. Oracle: ORDER BY md5 LIMIT k
-    — exact."""
+    — exact. Returns (doc_id, h) rows; downstream operators can join
+    on doc_id without any driver collection."""
     import hashlib
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -422,10 +445,15 @@ def sample_documents_consistent(sf_dir: str, k: int = 100) -> pd.DataFrame:
             }
         )
 
-    cand = (
+    return (
         _read(sf_dir, "documents", ["doc_id"])
         .map_batches(local_topk, batch_format="pyarrow")
-        .to_pandas()
+        .sort("h")
+        .limit(k)
     )
-    out = cand.sort_values("h").head(k)[["doc_id"]]
+
+
+def sample_documents_consistent(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Pandas shim over :func:`sample_documents_consistent_ds`."""
+    out = sample_documents_consistent_ds(sf_dir, k).to_pandas()[["doc_id"]]
     return out.sort_values("doc_id").reset_index(drop=True)

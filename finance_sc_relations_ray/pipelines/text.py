@@ -293,10 +293,13 @@ def filter_quality_documents(
 
 
 # ------------------------------------------------------- exact dedup ----
-def dedup_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact dedup: hash-partitioned groupby(text_hash) keeping the
-    smallest doc_id + duplicate count (A7 pattern with the per-batch
-    combiner from stages/shuffle.py)."""
+def dedup_exact_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Exact dedup, DATASET core (r2 verdict #8): hash-partitioned
+    groupby(text_hash) keeping the smallest doc_id + duplicate count
+    (A7 pattern with the per-batch combiner from stages/shuffle.py).
+    Composable — downstream operators consume the stream without any
+    driver collection; ``dedup_exact`` is the thin pandas shim over
+    this for the oracle gate."""
 
     def partial(batch: pa.Table) -> pa.Table:
         agg: dict[str, list[int]] = {}
@@ -318,15 +321,19 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = (
+    return (
         _read(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("text_hash")
         .aggregate(
             Min("doc_id", alias_name="doc_id"), Sum("n_dups", alias_name="n_dups")
         )
-        .to_pandas()
     )
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Pandas shim over :func:`dedup_exact_ds` (oracle-gate contract)."""
+    out = dedup_exact_ds(sf_dir).to_pandas()
     return out.sort_values("text_hash").reset_index(drop=True)
 
 
@@ -405,11 +412,19 @@ def minhash_dup_pairs(
     jaccard_threshold: float = 0.8,
     max_bucket_docs: int = 1000,
     pushdown_max_ids: int = 100_000,
+    on_degenerate: str = "star",
 ) -> pd.DataFrame:
     """MinHash+LSH near-dup candidate pairs, verified with exact word-
     3-gram Jaccard (shingle → minhash → band → bucket groupby →
     verify; the ray_guide near-dup recipe). Returns verified pairs
-    (doc_id_a < doc_id_b) with their Jaccard."""
+    (doc_id_a < doc_id_b) with their Jaccard.
+
+    ``on_degenerate``: what to do when an LSH bucket exceeds
+    ``max_bucket_docs`` — ``"star"`` (production: emit star pairs to
+    the min id, logged) or ``"raise"`` (oracle-gated contexts: the
+    star cap is deliberately NOT modeled in the SQL oracle, so fail
+    loudly with a clear message instead of hash-mismatching
+    confusingly; r2 ADVICE item)."""
     docs = _read(sf_dir, ["doc_id", "text"])
     bands_ds = docs.map_batches(
         MinHashActor,
@@ -435,6 +450,13 @@ def minhash_dup_pairs(
         for (_, _), grp in g.groupby(["band_id", "band_hash"]):
             ids = sorted(set(grp["doc_id"].tolist()))
             if len(ids) > max_bucket_docs:
+                if on_degenerate == "raise":
+                    raise ValueError(
+                        f"degenerate LSH bucket with {len(ids)} docs > "
+                        f"cap {max_bucket_docs}: the star cap is not "
+                        "modeled by the SQL oracle — raise the cap or "
+                        "run with on_degenerate='star'"
+                    )
                 # degenerate bucket (e.g. near-empty docs sharing a
                 # signature): all-pairs would be O(n²) unbounded. Emit
                 # the STAR to the min id instead — for duplicate-cluster
@@ -677,9 +699,11 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
     boilerplate scores high).
 
     Distributed plan (vocab is web-scale, so NOTHING is broadcast):
-    per-(doc, token) counts from one explode pass (combiner — one row
-    per doc x distinct token) → unigram table via combiner-first
-    groupby(token) → per-token micro-log-prob quantized to int64
+    per-(doc, token) counts from a map-only explode (combiner — one
+    row per doc x distinct token; REDERIVED for each of its two
+    consumers rather than materialized, see inline note) → unigram
+    table via combiner-first groupby(token) → per-token
+    micro-log-prob quantized to int64
     (``floor(log10(c/N)*1e6 + 0.5)``) so the per-doc accumulation is an
     INTEGER sum — exactly order-independent across the token-bucketed
     join exchange, which makes the result bit-stable run-to-run and
@@ -714,11 +738,21 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    toks = (
-        _read(sf_dir, ["doc_id", "text"])
-        .map_batches(explode_counts, batch_format="pyarrow")
-        .materialize()  # consumed by the unigram build AND the join
-    )
+    # REDERIVE, don't pin (r2 verdict #6, measured decision in
+    # BASELINE.md §unigram): the doc×token explode is the largest
+    # intermediate of the whole pipeline (≈ corpus token count); a
+    # materialize() for dual consumption pins it in the object store
+    # and at 100 TB spills ~the corpus to local disk. Re-running the
+    # map-only explode for the second consumer costs one extra
+    # read+tokenize pass that fully streams — measured a wash at sf0.1
+    # (2.8-4.3 s both ways, host noise dominates), so the
+    # scale-safe plan wins.
+    def toks_ds() -> "ray.data.Dataset":
+        return _read(sf_dir, ["doc_id", "text"]).map_batches(
+            explode_counts, batch_format="pyarrow"
+        )
+
+    toks = toks_ds()
 
     def partial_tok(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -737,13 +771,19 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
 
     def to_li(batch: pa.Table) -> pa.Table:
         c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # PLATFORM ASSUMPTION (r2 ADVICE): bit-exact oracle parity
+        # relies on np.log10 and DuckDB's log10 agreeing to the last
+        # ulp at the floor(x*1e6+0.5) quantization boundaries — true
+        # here (both call the same libm) but a 1-ulp difference on
+        # another platform flips li by 1. Downstream integer math is
+        # exact either way; only the quantization step is float.
         li = np.floor(np.log10(c / float(n_total)) * 1e6 + 0.5).astype(np.int64)
         return pa.table({"tok": batch["tok"], "li": pa.array(li, pa.int64())})
 
     uni_li = uni.map_batches(to_li, batch_format="pyarrow")
 
     joined = bucket_lookup_join(
-        toks, uni_li, on="tok", right_key="tok",
+        toks_ds(), uni_li, on="tok", right_key="tok",
         payload={"li": "li"},
         left_schema=pa.schema(
             [("doc_id", pa.int64()), ("tok", pa.string()), ("k", pa.int64())]
@@ -1115,9 +1155,192 @@ def _ngram_jaccard_pairs_ds(
 
 
 # ------------------------------------- near-dup connected components ----
+def _pairs_distinct(ds: "ray.data.Dataset", k: int) -> "ray.data.Dataset":
+    """Distributed DISTINCT over (u, v) int64 edge rows (per-batch
+    drop_duplicates → hash-bucketed exchange → per-bucket distinct —
+    the stages/shuffle.distinct_pairs_ds pattern with these column
+    names)."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(["u", "v"]).to_pandas().drop_duplicates()
+        u = df["u"].to_numpy(dtype=np.uint64)
+        b = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        ).astype(np.int64) % k
+        df["b"] = b
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(distinct, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
+def _edge_fingerprint(ds: "ray.data.Dataset") -> tuple[int, int]:
+    """(count, wrapping-uint64 hash sum) of an (u, v) edge set — the
+    per-round convergence check for the alternating-star loop. Each
+    batch contributes one partial row; the driver sums partials only."""
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15) + v * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(u)], pa.int64()),
+                "h": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    h = int(np.sum(parts["h"].to_numpy(dtype=np.uint64), dtype=np.uint64)) if len(parts) else 0
+    return n, h
+
+
+def _alternating_star_labels(
+    edges: "ray.data.Dataset", k: int, max_rounds: int = 50
+) -> "ray.data.Dataset":
+    """Connected-component labels via the alternating large-star /
+    small-star algorithm (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond", Algorithm 2) — O(log² n) rounds
+    regardless of component DIAMETER, the fallback for adversarially
+    deep graphs where hash-to-min propagation would need
+    diameter-many rounds.
+
+    ``edges``: (src, dst) rows in both orientations (as dup_clusters
+    builds them). Returns a (node, label) Dataset where label is the
+    component minimum; component-minimum nodes themselves are absent
+    (they appear only as labels), which the caller's left-join +
+    coalesce treats identically to singletons.
+
+    Each half-round is ONE hash-bucketed groupby with a vectorized
+    pandas transform inside, followed by a distributed distinct —
+    nothing row-level ever lands on the driver; the convergence check
+    moves only (count, hashsum) partials.
+
+    * large-star: for every node a, connect each STRICTLY GREATER
+      neighbor b to m = min(Γ(a) ∪ {a}).
+    * small-star: orient edges (u > v); for every u, connect u and
+      each smaller neighbor to m = min Γ≤(u).
+    Both preserve connectivity; the fixed point is a disjoint union
+    of stars centered at component minima (paper, Lemmas 1-3), at
+    which point both operations return their input unchanged — so the
+    loop stops when the (count, hashsum) fingerprint repeats."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        hi = np.maximum(s, d)
+        lo = np.minimum(s, d)
+        keep = hi != lo
+        return pa.table(
+            {
+                "u": pa.array(hi[keep], pa.int64()),
+                "v": pa.array(lo[keep], pa.int64()),
+            }
+        )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([u, v]), pa.int64()),
+                "b": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    def bucket_a(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (
+            (a * np.uint64(2654435761)) % np.uint64(k)
+        ).astype(np.int32)
+        return batch.append_column("bk", pa.array(bk, pa.int32()))
+
+    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.minimum(g.groupby("a")["b"].transform("min"), g["a"])
+        sel = g["b"] > g["a"]
+        return pd.DataFrame(
+            {"u": g["b"][sel].to_numpy(), "v": m[sel].to_numpy()}
+        )
+
+    def bucket_u(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bk = (
+            (u * np.uint64(2654435761)) % np.uint64(k)
+        ).astype(np.int32)
+        return batch.append_column("bk", pa.array(bk, pa.int32()))
+
+    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("u")["v"].transform("min")
+        sel = g["v"].to_numpy() != m.to_numpy()
+        reps = g.assign(m=m).drop_duplicates("u")
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(
+                    [g["v"][sel].to_numpy(), reps["u"].to_numpy()]
+                ),
+                "v": np.concatenate(
+                    [m[sel].to_numpy(), reps["m"].to_numpy()]
+                ),
+            }
+        )
+
+    cur = _pairs_distinct(
+        edges.map_batches(canon, batch_format="pyarrow"), k
+    ).materialize()
+    fp = _edge_fingerprint(cur)
+    for _ in range(max_rounds):
+        after_large = (
+            cur.map_batches(both_dirs, batch_format="pyarrow")
+            .map_batches(bucket_a, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(
+                large_star, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+            )
+        )
+        after_small = (
+            after_large.map_batches(bucket_u, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(
+                small_star, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+            )
+        )
+        cur = _pairs_distinct(after_small, k).materialize()
+        fp2 = _edge_fingerprint(cur)
+        if fp2 == fp:
+            break
+        fp = fp2
+    else:
+        raise RuntimeError(
+            f"alternating_star: no convergence after {max_rounds} rounds"
+        )
+
+    # fixed point = disjoint stars: every non-center node has exactly
+    # its (node, center) edge; a defensive per-node min keeps the
+    # output correct even one round early
+    def node_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("u", as_index=False)["v"].min()
+        return pd.DataFrame({"node": out["u"], "label": out["v"]})
+
+    return (
+        cur.map_batches(bucket_u, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(node_min, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
 def dup_clusters(
     sf_dir: str, threshold: float = 0.8, n: int = 3, max_iter: int = 30,
-    num_buckets: int = 64,
+    num_buckets: int = 64, method: str = "propagation",
 ) -> pd.DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact
     n-gram-Jaccard pair graph, then a cluster id per document
@@ -1136,11 +1359,15 @@ def dup_clusters(
     a half-merged clustering). Each round is one co-partitioned
     `bucket_lookup_join` (edges x labels) plus one bucketed per-node
     min — both bounded per-reducer; nothing ever lands on the driver.
-    For adversarially deep graphs (long chains) the alternating
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") drops rounds to O(log^2 n);
-    propagation is chosen here because dedup graphs are
-    diameter-bounded by transitive text similarity.
+    For adversarially deep graphs (long chains) pass
+    ``method="alternating_star"``: the alternating large-star /
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") drops rounds to O(log^2 n) regardless of
+    diameter (see ``_alternating_star_labels``). ``"propagation"`` is
+    the default because dedup graphs are diameter-bounded by
+    transitive text similarity; equivalence of the two methods is
+    tested on chain graphs deeper than propagation's ``max_iter``
+    (tests/test_dup_clusters_star.py).
 
     Docs in no pair are singleton clusters of themselves — they are
     attached at the end via a left bucket join, never iterated.
@@ -1178,6 +1405,10 @@ def dup_clusters(
     # not with upstream task count.
     k = int(min(num_buckets, n_edges // 100_000 + 1))
     edges = edges.repartition(k).materialize()
+
+    if method == "alternating_star":
+        labels = _alternating_star_labels(edges, k)
+        return _finalize_dup_clusters(docs, labels, num_buckets)
 
     def node_rows(batch: pa.Table) -> pa.Table:
         # per-batch unique; cross-batch duplicates are harmless — the
@@ -1253,7 +1484,17 @@ def dup_clusters(
             "(component diameter exceeds max_iter)"
         )
 
-    # singletons: left-join every doc against the converged labels
+    return _finalize_dup_clusters(docs, labels, num_buckets)
+
+
+def _finalize_dup_clusters(
+    docs: "ray.data.Dataset", labels: "ray.data.Dataset", num_buckets: int
+) -> pd.DataFrame:
+    """Shared tail of both dup_clusters methods: left-join every doc
+    against the converged (node, label) set — singletons and component
+    minima coalesce to themselves — and emit the canonical flag."""
+    from ..stages.joins import bucket_lookup_join
+
     joined = bucket_lookup_join(
         docs, labels, on="doc_id", right_key="node",
         payload={"label": "cluster_id"},
@@ -1627,7 +1868,7 @@ def pack_token_offsets(
 
 
 # ----------------------------------------- hash-based domain mixing -----
-def resample_by_source(sf_dir: str) -> pd.DataFrame:
+def resample_by_source_ds(sf_dir: str) -> "ray.data.Dataset":
     """Domain-mixing resample (the DoReMi/data-mixture curation step):
     down-sample each ``source`` to a target weight with a STATELESS
     keep decision — a document survives iff the md5 fraction of
@@ -1646,7 +1887,12 @@ def resample_by_source(sf_dir: str) -> pd.DataFrame:
         srcs = batch["source"].to_pylist()
         mask = []
         for d, s in zip(ids, srcs):
-            tail = s[-1] if s and s[-1].isdigit() else None
+            # ASCII-only gate (ADVICE r2): str.isdigit accepts Unicode
+            # digits ('٣' takes the weight path, '²' crashes int()),
+            # while the oracle's BETWEEN '0' AND '9' is ASCII — gate on
+            # the exact ASCII set so engine and oracle agree on any
+            # source string
+            tail = s[-1] if s and s[-1] in "0123456789" else None
             w = (int(tail) + 1) / 10.0 if tail is not None else 1.0
             h = int(
                 hashlib.md5(f"mix-42|{d}".encode("utf-8")).hexdigest()[:8],
@@ -1655,9 +1901,13 @@ def resample_by_source(sf_dir: str) -> pd.DataFrame:
             mask.append(h < w * 4294967296.0)
         return batch.filter(pa.array(mask, pa.bool_()))
 
-    out = (
+    return (
         _read(sf_dir, ["doc_id", "source"])
         .map_batches(keep, batch_format="pyarrow")
-        .to_pandas()
     )
+
+
+def resample_by_source(sf_dir: str) -> pd.DataFrame:
+    """Pandas shim over :func:`resample_by_source_ds` (oracle gate)."""
+    out = resample_by_source_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
