@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "span_dedup_documents",
     "unigram_logprob_documents",
     "simhash_documents",
+    # r3: vectorized in round 3 — benched so regressions are caught
+    "sentencize_documents",
+    "gopher_quality_documents",
+    "repetition_stats_documents",
     "cap_per_source",
     "pack_token_offsets",
     "knn_cosine",

@@ -27,9 +27,16 @@ from ..functions import textops
 from ..functions.clean import clean_array
 
 
-def _read(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+def _read(
+    sf_dir: str, columns: list[str], fanout: bool = False
+) -> "ray.data.Dataset":
+    # fanout=True for explode-heavy / CPU-heavy first stages (see
+    # sources/io.py:sized_read_parquet) — keeps task fan-out when the
+    # input file is gate-scale tiny.
     return sized_read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=columns,
+        fanout=fanout,
     )
 
 
@@ -425,7 +432,7 @@ def minhash_dup_pairs(
     star cap is deliberately NOT modeled in the SQL oracle, so fail
     loudly with a clear message instead of hash-mismatching
     confusingly; r2 ADVICE item)."""
-    docs = _read(sf_dir, ["doc_id", "text"])
+    docs = _read(sf_dir, ["doc_id", "text"], fanout=True)
     bands_ds = docs.map_batches(
         MinHashActor,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
@@ -672,7 +679,7 @@ def heavy_hitter_tokens(sf_dir: str, min_fraction: float = 0.005) -> pd.DataFram
     # noise tokens) — it stays distributed; only the SCALAR total and
     # the ≤ 1/min_fraction heavy rows ever reach the driver
     counts = (
-        _read(sf_dir, ["text"])
+        _read(sf_dir, ["text"], fanout=True)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(_Sum("n_occurrences", alias_name="n_occurrences"))
@@ -748,7 +755,7 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
     # (2.8-4.3 s both ways, host noise dominates), so the
     # scale-safe plan wins.
     def toks_ds() -> "ray.data.Dataset":
-        return _read(sf_dir, ["doc_id", "text"]).map_batches(
+        return _read(sf_dir, ["doc_id", "text"], fanout=True).map_batches(
             explode_counts, batch_format="pyarrow"
         )
 
@@ -884,7 +891,7 @@ def span_dedup_documents(
         return pa.Table.from_pandas(df, preserve_index=False)
 
     occ = (
-        _read(sf_dir, ["doc_id", "text"])
+        _read(sf_dir, ["doc_id", "text"], fanout=True)
         .map_batches(span_occurrences, batch_format="pyarrow")
         .map_batches(local_reduce, batch_format="pyarrow")
         .materialize()
@@ -1072,7 +1079,7 @@ def _ngram_jaccard_pairs_ds(
             }
         )
 
-    shingle_rows = _read(sf_dir, ["doc_id", "text"]).map_batches(
+    shingle_rows = _read(sf_dir, ["doc_id", "text"], fanout=True).map_batches(
         explode, batch_format="pyarrow"
     )
 
@@ -1566,7 +1573,9 @@ def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
             {"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())}
         )
 
-    return _read(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+    return _read(sf_dir, ["doc_id", "text"], fanout=True).map_batches(
+        f, batch_format="pyarrow"
+    )
 
 
 def gopher_quality_documents(sf_dir: str) -> "ray.data.Dataset":

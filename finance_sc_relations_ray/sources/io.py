@@ -54,8 +54,19 @@ _SMALL_READ_MAX = 64 << 20
 _SMALL_READ_MAX_BLOCKS = 64
 
 
-def sized_read_parquet(path: str, **kwargs) -> "ray.data.Dataset":
+def sized_read_parquet(
+    path: str, *, fanout: bool = False, **kwargs
+) -> "ray.data.Dataset":
     """``read_parquet`` with a SIZE-AWARE block count for small inputs.
+
+    ``fanout=True`` opts OUT of the small-read collapse and keeps Ray's
+    stock block sizing (~2× CPU count): pipelines whose first map
+    EXPLODES rows 100×+ (shingles, doc×token) or does heavy per-doc
+    CPU work need the downstream task fan-out even when the input file
+    is tiny — measured at sf0.1: the 1-block read serialized
+    ngram_jaccard's shingle explode (5.1 s → 27.4 s) and
+    unigram_logprob's tokenize (7.3 s → 11.4 s). Inputs over 64 MiB
+    are stock either way, so this only matters at gate scale.
 
     Ray's default parallelism targets ~2× the CPU count, which is right
     at scale but splits a gate-scale table (a few MB) into dozens of
@@ -82,7 +93,8 @@ def sized_read_parquet(path: str, **kwargs) -> "ray.data.Dataset":
     except OSError:
         total = None
     if (
-        total is not None
+        not fanout
+        and total is not None
         and total < _SMALL_READ_MAX
         and "override_num_blocks" not in kwargs
     ):
