@@ -196,6 +196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "dup_clusters": T.dup_clusters,
+        # composed flagship curation pipeline (filter -> exact dedup ->
+        # minhash near-dup clusters -> canonical survivors)
+        "curate_documents": functools.partial(
+            T.curate_documents, on_degenerate="raise"
+        ),
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
         "unigram_logprob_documents": T.unigram_logprob_documents,
         "simhash_documents": T.simhash_documents,
@@ -968,6 +973,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(label) AS cluster_id,
                    CAST(node = min(label) AS BIGINT) AS is_canonical
             FROM reach GROUP BY node
+        """,
+        # composed curation: quality/lang gate -> exact dedup (min
+        # doc_id per md5) -> bit-exact MinHash LSH pairs over the
+        # survivors -> recursive-CTE components -> canonical survivors
+        "curate_documents": rf"""
+            WITH RECURSIVE perms AS (
+                SELECT * FROM (VALUES {mh_perms}) p(i, pa, pb)
+            ), eligible AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '\S+')) AS n_words
+                FROM documents
+                WHERE lang = 'en'
+                  AND len(regexp_extract_all(text, '\S+')) >= 20
+                  AND (CASE WHEN length(text) > 0
+                       THEN len(regexp_extract_all(text, '[.,;:!?]'))
+                            / length(text)::DOUBLE
+                       ELSE 0.0 END) <= 0.05
+            ), winners AS (
+                SELECT e.doc_id, e.text, e.n_words
+                FROM eligible e
+                JOIN (SELECT min(doc_id) AS doc_id
+                      FROM eligible GROUP BY md5(text)) w
+                  ON w.doc_id = e.doc_id
+            ), toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                FROM winners
+            ), sh AS (
+                SELECT doc_id,
+                    list_distinct(
+                        CASE WHEN len(t) >= 3
+                             THEN list_transform(range(1, len(t) - 1),
+                                                 i -> array_to_string(t[i:i+2], ' '))
+                             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                             ELSE [] END
+                    ) AS s
+                FROM toks
+            ), eh AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 16))::UBIGINT::HUGEINT AS h
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+            ), sig AS (
+                SELECT d.doc_id, p.i,
+                       coalesce(min(((p.pa * e.h) % 18446744073709551616::HUGEINT
+                                     + p.pb) % 18446744073709551616::HUGEINT
+                                    % 2305843009213693951),
+                                2305843009213693951) AS v
+                FROM (SELECT doc_id FROM winners) d
+                CROSS JOIN perms p
+                LEFT JOIN eh e ON e.doc_id = d.doc_id
+                GROUP BY d.doc_id, p.i
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band_id,
+                       substr(md5(string_agg(v::VARCHAR, ',' ORDER BY i)),
+                              1, 16) AS bh
+                FROM sig GROUP BY doc_id, i // 4
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+                FROM bands x JOIN bands y
+                  ON x.band_id = y.band_id AND x.bh = y.bh
+                 AND y.doc_id > x.doc_id
+            ), cnt AS (
+                SELECT s.doc_id, count(e.h) AS n
+                FROM sh s LEFT JOIN eh e ON e.doc_id = s.doc_id
+                GROUP BY s.doc_id
+            ), inter AS (
+                SELECT c.doc_id_a, c.doc_id_b, count(*) AS i
+                FROM cand c
+                JOIN eh a ON a.doc_id = c.doc_id_a
+                JOIN eh b ON b.doc_id = c.doc_id_b AND b.h = a.h
+                GROUP BY 1, 2
+            ), prs AS (
+                SELECT c.doc_id_a, c.doc_id_b
+                FROM cand c
+                LEFT JOIN inter i ON i.doc_id_a = c.doc_id_a
+                                 AND i.doc_id_b = c.doc_id_b
+                JOIN cnt ca ON ca.doc_id = c.doc_id_a
+                JOIN cnt cb ON cb.doc_id = c.doc_id_b
+                WHERE CASE WHEN ca.n = 0 AND cb.n = 0 THEN 1.0
+                      ELSE coalesce(i.i, 0)
+                           / (ca.n + cb.n - coalesce(i.i, 0))::DOUBLE
+                      END >= 0.8
+            ), edges AS (
+                SELECT doc_id_a AS s, doc_id_b AS d FROM prs
+                UNION ALL
+                SELECT doc_id_b, doc_id_a FROM prs
+            ), reach(node, label) AS (
+                SELECT doc_id, doc_id FROM winners
+                UNION
+                SELECT ed.d, r.label FROM reach r JOIN edges ed ON ed.s = r.node
+            )
+            SELECT w.doc_id, w.n_words
+            FROM winners w
+            JOIN (SELECT node, min(label) AS cl
+                  FROM reach GROUP BY node) c ON c.node = w.doc_id
+            WHERE c.cl = c.node
         """,
         "knn_cosine": """
             WITH q AS (

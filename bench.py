@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "events_hourly",
     "dedup_exact",
     "minhash_dup_pairs",
+    # composed flagship curation (filter -> exact dedup -> minhash
+    # clusters -> canonical survivors)
+    "curate_documents",
     "ngram_jaccard_pairs",
     # dup_clusters is oracle-gated but not benched: its dominant cost
     # is the same pair DAG ngram_jaccard_pairs already times

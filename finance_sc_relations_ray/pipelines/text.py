@@ -412,7 +412,7 @@ class MinHashActor:
         )
 
 
-def minhash_dup_pairs(
+def _minhash_pairs_ds(
     sf_dir: str,
     num_perm: int = 64,
     bands: int = 16,
@@ -420,19 +420,32 @@ def minhash_dup_pairs(
     max_bucket_docs: int = 1000,
     pushdown_max_ids: int = 100_000,
     on_degenerate: str = "star",
-) -> pd.DataFrame:
+    docs_ds: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
     """MinHash+LSH near-dup candidate pairs, verified with exact word-
     3-gram Jaccard (shingle → minhash → band → bucket groupby →
-    verify; the ray_guide near-dup recipe). Returns verified pairs
-    (doc_id_a < doc_id_b) with their Jaccard.
+    verify; the ray_guide near-dup recipe), as a composable DATASET of
+    verified pairs (doc_id_a < doc_id_b) with their Jaccard.
 
     ``on_degenerate``: what to do when an LSH bucket exceeds
     ``max_bucket_docs`` — ``"star"`` (production: emit star pairs to
     the min id, logged) or ``"raise"`` (oracle-gated contexts: the
     star cap is deliberately NOT modeled in the SQL oracle, so fail
     loudly with a clear message instead of hash-mismatching
-    confusingly; r2 ADVICE item)."""
-    docs = _read(sf_dir, ["doc_id", "text"], fanout=True)
+    confusingly; r2 ADVICE item).
+
+    ``docs_ds``: optional upstream (doc_id, text) Dataset to mine
+    instead of the raw documents table — MUST be a row-subset of
+    ``sf_dir/documents.parquet`` with unmodified doc_id/text (the
+    exact-verify stage re-reads candidate texts from the file by id,
+    which is only equivalent under that contract). This is how the
+    composed curation pipeline restricts near-dup mining to its
+    filter/exact-dedup survivors without a second text exchange."""
+    docs = (
+        docs_ds
+        if docs_ds is not None
+        else _read(sf_dir, ["doc_id", "text"], fanout=True)
+    )
     bands_ds = docs.map_batches(
         MinHashActor,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands},
@@ -506,11 +519,7 @@ def minhash_dup_pairs(
     pairs_ds = distinct_pairs_ds(raw_pairs).materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
-        return pd.DataFrame(
-            {"doc_id_a": pd.Series([], dtype="int64"),
-             "doc_id_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
+        return ray.data.from_arrow(_EMPTY_PAIRS_TABLE)
 
     # verify with exact shingle Jaccard — fully distributed: document
     # text never leaves the workers, and (since r3) neither do the
@@ -639,7 +648,33 @@ def minhash_dup_pairs(
             }
         )
 
-    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+_EMPTY_PAIRS_TABLE = pa.table(
+    {
+        "doc_id_a": pa.array([], pa.int64()),
+        "doc_id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def minhash_dup_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    max_bucket_docs: int = 1000,
+    pushdown_max_ids: int = 100_000,
+    on_degenerate: str = "star",
+) -> pd.DataFrame:
+    """Pandas shim over :func:`_minhash_pairs_ds` (oracle-gate
+    contract; see the core for the algorithm and scale notes)."""
+    out = _minhash_pairs_ds(
+        sf_dir, num_perm, bands, jaccard_threshold, max_bucket_docs,
+        pushdown_max_ids, on_degenerate,
+    ).to_pandas()
     if out.empty:
         out = pd.DataFrame(
             {"doc_id_a": pd.Series([], dtype="int64"),
@@ -1379,9 +1414,31 @@ def dup_clusters(
     Docs in no pair are singleton clusters of themselves — they are
     attached at the end via a left bucket join, never iterated.
     """
-    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
-
     pairs = _ngram_jaccard_pairs_ds(sf_dir, threshold, n, None)
+    docs = _read(sf_dir, ["doc_id"])
+    labels = _pair_graph_labels(pairs, max_iter, num_buckets, method)
+    if labels is None:
+        out = docs.to_pandas()
+        out["cluster_id"] = out["doc_id"]
+        out["is_canonical"] = np.int64(1)
+        return out.sort_values("doc_id").reset_index(drop=True)
+    return _finalize_dup_clusters(docs, labels, num_buckets)
+
+
+def _pair_graph_labels(
+    pairs: "ray.data.Dataset",
+    max_iter: int = 30,
+    num_buckets: int = 64,
+    method: str = "propagation",
+) -> "ray.data.Dataset | None":
+    """Connected-component labels over a pair Dataset
+    (``doc_id_a``/``doc_id_b``): the distributed core shared by
+    :func:`dup_clusters` and the composed curation pipeline. Returns
+    the converged ``(node, label)`` Dataset (label = component min),
+    or ``None`` when the graph has no edges. Every node that appears
+    in any pair gets a row; by hash-to-min monotonicity the component
+    minimum's label is itself."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
@@ -1395,14 +1452,10 @@ def dup_clusters(
 
     # materialized once: re-read from the object store every round
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    docs = _read(sf_dir, ["doc_id"])
 
     n_edges = edges.count()
     if n_edges == 0:
-        out = docs.to_pandas()
-        out["cluster_id"] = out["doc_id"]
-        out["is_canonical"] = np.int64(1)
-        return out.sort_values("doc_id").reset_index(drop=True)
+        return None
 
     # compact the iteration working set: the pair DAG leaves hundreds
     # of near-empty blocks, and each propagation round's sort exchange
@@ -1414,8 +1467,7 @@ def dup_clusters(
     edges = edges.repartition(k).materialize()
 
     if method == "alternating_star":
-        labels = _alternating_star_labels(edges, k)
-        return _finalize_dup_clusters(docs, labels, num_buckets)
+        return _alternating_star_labels(edges, k)
 
     def node_rows(batch: pa.Table) -> pa.Table:
         # per-batch unique; cross-batch duplicates are harmless — the
@@ -1491,7 +1543,7 @@ def dup_clusters(
             "(component diameter exceeds max_iter)"
         )
 
-    return _finalize_dup_clusters(docs, labels, num_buckets)
+    return labels
 
 
 def _finalize_dup_clusters(
@@ -1525,6 +1577,176 @@ def _finalize_dup_clusters(
         )
 
     out = joined.map_batches(finalize_clusters, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------- composed curation --------
+def curate_documents_ds(
+    sf_dir: str,
+    lang: str = "en",
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.05,
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_iter: int = 30,
+    num_buckets: int = 64,
+    on_degenerate: str = "star",
+    method: str = "propagation",
+) -> "ray.data.Dataset":
+    """End-to-end corpus curation — the composed flagship text
+    pipeline (the C4/RefinedWeb curation shape), each stage reusing an
+    oracled single-op core:
+
+      1. language + quality gate (``filter_quality_documents``
+         semantics: scan-level ``lang =`` predicate pushdown, then the
+         vectorized min-token / punct-ratio predicate) — map-only;
+      2. exact dedup keeping the smallest doc_id per md5(text) — the
+         pipeline's first all-to-all; per-batch combiner first (one
+         winner row per (hash × batch) enters the exchange), coarse
+         hash buckets so one map_groups call reduces many hashes;
+      3. MinHash+LSH near-dup pairs over the survivors
+         (:func:`_minhash_pairs_ds` with ``docs_ds=``; exact
+         duplicates are already gone, so LSH only hunts near-misses —
+         the standard reason production pipelines order exact before
+         fuzzy);
+      4. connected components over the pair graph
+         (:func:`_pair_graph_labels`): every non-minimum member of a
+         dup cluster is dropped (keep-one-representative, min doc_id —
+         the reference's keep-one rule in
+         ``src/relation_extraction/reporter.py`` applied corpus-wide);
+      5. survivors emitted as (doc_id, n_words); the cluster losers
+         are removed by an anti-join phrased as a left bucket join +
+         null filter.
+
+    Scale notes: stage 2's exchange ships each distinct text once —
+    the unavoidable exact-dedup cost; stages 3-5 move only ids, pair
+    rows and fixed-width signatures. Nothing reaches the driver except
+    the scalar pair/edge counts that size the bucketed exchanges.
+    Oracle: the full composition is SQL-expressible (bit-exact MinHash
+    constants + recursive-CTE components) — see
+    ``oracle_sql()['curate_documents']``."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_tokens = pc.count_substring_regex(text, _TOKEN_PAT).cast(pa.int64())
+        n_punct = (
+            pc.count_substring_regex(text, _PUNCT_PAT)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n_chars = (
+            pc.utf8_length(text)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        ratio = np.divide(  # unrounded (SQL parity)
+            n_punct, n_chars, out=np.zeros_like(n_punct), where=n_chars > 0
+        )
+        nt = n_tokens.to_numpy(zero_copy_only=False)
+        keep = (nt >= min_tokens) & (ratio <= max_punct_ratio)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": text, "n_words": n_tokens}
+        ).filter(pa.array(keep))
+
+    eligible = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("lang") == lang,
+        fanout=True,
+    ).map_batches(gate, batch_format="pyarrow")
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        best: dict[str, tuple[int, str, int]] = {}
+        for doc_id, text, nw in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["n_words"].to_pylist(),
+        ):
+            h = textops.fingerprint(text)
+            cur = best.get(h)
+            if cur is None or doc_id < cur[0]:
+                best[h] = (doc_id, text, nw)
+        hs = list(best.keys())
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "hb": pa.array(
+                    [zlib.crc32(x.encode()) % 64 for x in hs], pa.int32()
+                ),
+                "doc_id": pa.array([best[x][0] for x in hs], pa.int64()),
+                "text": pa.array([best[x][1] for x in hs], pa.string()),
+                "n_words": pa.array([best[x][2] for x in hs], pa.int64()),
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("h")["doc_id"].idxmin()
+        return g.loc[idx, ["doc_id", "text", "n_words"]]
+
+    # materialized once (object store): consumed by the minhash miner
+    # AND the final anti-join
+    winners = (
+        eligible.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(keep_min, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+        .materialize()
+    )
+
+    pairs = _minhash_pairs_ds(
+        sf_dir,
+        num_perm=num_perm,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        on_degenerate=on_degenerate,
+        docs_ds=winners.select_columns(["doc_id", "text"]),
+    )
+    labels = _pair_graph_labels(pairs, max_iter, num_buckets, method)
+
+    kept_cols = winners.select_columns(["doc_id", "n_words"])
+    if labels is None:
+        return kept_cols
+
+    def loser_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["label"], batch["node"]))
+        return pa.table(
+            {
+                "doc_id": t["node"],
+                "dup": pa.array(np.ones(t.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    losers = labels.map_batches(loser_rows, batch_format="pyarrow")
+    joined = bucket_lookup_join(
+        kept_cols, losers, on="doc_id", right_key="doc_id",
+        payload={"dup": "dup"},
+        left_schema=pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64())]),
+        payload_types={"dup": pa.int8()},
+        num_buckets=num_buckets, how="left",
+    )
+
+    def keep_unflagged(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch["dup"]))
+        return pa.table({"doc_id": t["doc_id"], "n_words": t["n_words"]})
+
+    return joined.map_batches(keep_unflagged, batch_format="pyarrow")
+
+
+def curate_documents(sf_dir: str, **kw) -> pd.DataFrame:
+    """Pandas shim over :func:`curate_documents_ds` (oracle-gate
+    contract)."""
+    out = curate_documents_ds(sf_dir, **kw).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_words": pd.Series([], dtype="int64")}
+        )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -81,3 +81,102 @@ def test_resample_by_source_is_stateless_subset():
     # src9/src19 end in 9 → weight 1.0 → every doc kept
     for s in ("src9", "src19"):
         assert (a["source"] == s).sum() == (full["source"] == s).sum()
+
+
+# ----------------------------------------------- composed curation ------
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+class TestCurateDocuments:
+    """Invariants of the composed curate pipeline that the DuckDB
+    oracle (tests/test_queries_vs_duckdb.py::curate_documents) does
+    not spell out structurally: stage containment, exact-distinctness
+    of survivors, and keep-one-representative via an INDEPENDENT
+    union-find over the engine's own verified pair graph."""
+
+    @pytest.fixture(scope="class")
+    def cur(self):
+        from finance_sc_relations_ray.pipelines.text import curate_documents
+
+        return curate_documents(SF, on_degenerate="raise")
+
+    @pytest.fixture(scope="class")
+    def docs(self):
+        return pq.read_table(
+            SF + "/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).to_pandas()
+
+    def test_subset_of_quality_gate(self, cur, docs):
+        from finance_sc_relations_ray.pipelines.text import (
+            filter_quality_documents,
+        )
+
+        fq = filter_quality_documents(SF).to_pandas()
+        assert set(cur["doc_id"]) <= set(fq["doc_id"])
+
+    def test_survivor_texts_distinct(self, cur, docs):
+        kept = docs[docs["doc_id"].isin(cur["doc_id"])]
+        assert kept["text"].map(_md5).is_unique
+
+    def test_n_words_exact(self, cur, docs):
+        import re
+
+        m = docs.set_index("doc_id")["text"]
+        for doc_id, nw in zip(cur["doc_id"], cur["n_words"]):
+            assert nw == len(re.findall(r"\S+", m[doc_id]))
+
+    def test_keep_one_representative_union_find(self, cur, docs):
+        """Independent oracle for stages 2+4+5: rebuild the winner set
+        in pandas, take the ENGINE's verified pair graph over it, run
+        a plain union-find (different algorithm than the distributed
+        label propagation), and check kept == component minima plus
+        singletons."""
+        import ray
+        import re
+
+        from finance_sc_relations_ray.pipelines.text import _minhash_pairs_ds
+
+        elig = docs[docs["lang"] == "en"].copy()
+        elig["n_words"] = elig["text"].map(
+            lambda t: len(re.findall(r"\S+", t))
+        )
+        elig["punct"] = elig["text"].map(
+            lambda t: len(re.findall(r"[.,;:!?]", t)) / len(t) if t else 0.0
+        )
+        elig = elig[(elig["n_words"] >= 20) & (elig["punct"] <= 0.05)]
+        win = elig.loc[
+            elig.groupby(elig["text"].map(_md5))["doc_id"].idxmin()
+        ].sort_values("doc_id")
+
+        pairs = _minhash_pairs_ds(
+            SF,
+            on_degenerate="raise",
+            docs_ds=ray.data.from_pandas(
+                win[["doc_id", "text"]].reset_index(drop=True)
+            ),
+        ).to_pandas()
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        comp_min: dict[int, int] = {}
+        for d in win["doc_id"]:
+            r = find(int(d))
+            comp_min[r] = min(comp_min.get(r, int(d)), int(d))
+        expected = sorted(
+            int(d) for d in win["doc_id"] if comp_min[find(int(d))] == int(d)
+        )
+        assert sorted(cur["doc_id"].tolist()) == expected
