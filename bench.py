@@ -148,26 +148,32 @@ def run_bench() -> dict:
         run_partitioned,
     )
 
-    part_dir = "/tmp/bench_kg_parts"
-    shutil.rmtree(part_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    summary = run_partitioned(
-        pages_path, part_dir, num_parts=max(8, ncpu // 4), config=cfg
-    )
-    part_triples = merge_parts(part_dir).count()
-    kg_part_sec = time.perf_counter() - t0
-    shutil.rmtree(part_dir, ignore_errors=True)
+    kg_part_sec = part_triples = None
+    if os.environ.get("GRAFT_BENCH_PARTITIONED", "1") != "0":
+        part_dir = "/tmp/bench_kg_parts"
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        summary = run_partitioned(
+            pages_path, part_dir, num_parts=max(8, ncpu // 4), config=cfg
+        )
+        part_triples = merge_parts(part_dir).count()
+        kg_part_sec = time.perf_counter() - t0
+        shutil.rmtree(part_dir, ignore_errors=True)
 
     qs = entry.queries()
-    timings: dict[str, float] = {
-        "kg_pipeline": round(kg_sec, 3),
-        "kg_partitioned": round(kg_part_sec, 3),
-    }
+    timings: dict[str, float] = {"kg_pipeline": round(kg_sec, 3)}
+    if kg_part_sec is not None:
+        timings["kg_partitioned"] = round(kg_part_sec, 3)
     if kg_sat_sec is not None:
         timings["kg_pipeline_saturated"] = round(kg_sat_sec, 3)
     import ray.data as _rd
 
-    for name in BENCH_QUERIES:
+    bench_queries = (
+        BENCH_QUERIES
+        if os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0"
+        else []
+    )
+    for name in bench_queries:
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
         if isinstance(res, _rd.Dataset):
@@ -184,8 +190,12 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "n_docs": int(n_docs),
         "n_triples": int(triples),
-        "n_triples_partitioned": int(part_triples),
-        "docs_per_sec_partitioned": round(n_docs / kg_part_sec, 1),
+        "n_triples_partitioned": (
+            int(part_triples) if part_triples is not None else None
+        ),
+        "docs_per_sec_partitioned": (
+            round(n_docs / kg_part_sec, 1) if kg_part_sec else None
+        ),
         "extra_entities": extra_entities,
         "docs_per_sec_saturated": (
             round(n_docs / kg_sat_sec, 1) if kg_sat_sec else None
@@ -209,8 +219,12 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         # scaling trials skip the saturated companion run — efficiency
         # is computed from the main kg time only
+        # scaling trials measure the kg pipeline ONLY: the query suite
+        # and the partitioned runner would burn the quiesced window on
+        # numbers that never feed the efficiency ratio
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_PAGES=pages, GRAFT_BENCH_SATURATED="0")
+                   GRAFT_BENCH_PAGES=pages, GRAFT_BENCH_SATURATED="0",
+                   GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_PARTITIONED="0")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
