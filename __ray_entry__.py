@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents_consistent": M.sample_documents_consistent,
         "embedding_dup_pairs": M.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": M.embedding_dup_pairs_lsh,
+        # iterative embedding ops (non-SQL: Lloyd's iterations; exact
+        # integer-quantized fit, pytest-oracled vs a local replica)
+        "kmeans_embeddings": M.kmeans_embeddings,
+        "semantic_dedup": M.semantic_dedup,
         # similarity search over embeddings
         "knn_cosine": S.knn_cosine,
         "lsh_bucketed_knn": S.lsh_bucketed_knn,  # non-SQL (approximate)

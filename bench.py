@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "cap_per_source",
     "pack_token_offsets",
     "knn_cosine",
+    # r3: SemDeDup-style semantic dedup (distributed spherical k-means
+    # + within-cluster greedy prune)
+    "semantic_dedup",
     "token_counts",
     "events_asof_join",
     "events_range_join",

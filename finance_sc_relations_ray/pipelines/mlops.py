@@ -457,3 +457,244 @@ def sample_documents_consistent(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """Pandas shim over :func:`sample_documents_consistent_ds`."""
     out = sample_documents_consistent_ds(sf_dir, k).to_pandas()[["doc_id"]]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+# ----------------------------------------- k-means / semantic dedup -----
+# Embedding components are quantized to 2^-24 units (int64) before any
+# distributed sum — the unigram-logprob integer pattern applied to
+# vectors: integer addition is exact and commutative, so a centroid is
+# bit-identical no matter how Ray blocks, batches or orders the input.
+_EMB_SCALE = 1 << 24
+
+
+def _emb_ints(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, int64 quantized matrix) from an Arrow batch. float32
+    → float64 is exact, ×2^24 is a power-of-two scale (exact), rint is
+    exact: two engines quantizing the same parquet agree bit-for-bit."""
+    vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    return vids, np.rint(m * _EMB_SCALE).astype(np.int64)
+
+
+def _unit_rows(q: np.ndarray) -> np.ndarray:
+    """Row-normalize a float64 matrix; zero rows stay zero."""
+    n = np.linalg.norm(q, axis=1, keepdims=True)
+    return np.divide(q, n, out=np.zeros_like(q), where=n > 0)
+
+
+def _maximin_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-point init over unit rows: start at row
+    0, then k-1 times add the row with the LOWEST max-cosine to the
+    chosen set (numpy first-min breaks ties to the lowest index)."""
+    chosen = [0]
+    best = sample @ sample[0]
+    for _ in range(k - 1):
+        nxt = int(best.argmin())
+        chosen.append(nxt)
+        best = np.maximum(best, sample @ sample[nxt])
+    return sample[chosen].copy()
+
+
+def kmeans_fit(
+    sf_dir: str, k: int = 10, iters: int = 5, init_sample: int = 2048
+) -> tuple[np.ndarray, "ray.data.Dataset"]:
+    """Distributed Lloyd's k-means over the ``embeddings`` table
+    (spherical variant: unit rows, unit centroids, argmax cosine).
+
+    Shape (the Spark-MLlib shape, Ray-Data-first): centroids live on
+    the driver (k×d floats — tiny) and are ``ray.put`` BROADCAST each
+    iteration; each batch assigns its rows vectorized (one matmul) and
+    emits only k' ≤ k partial rows (cluster, count, int component
+    sums); the driver folds ≤ k × n_blocks partials into the next
+    centroids. Per iteration: one streaming pass, no shuffle, nothing
+    driver-side but the k×d partial fold — at 10^12 rows the pass is
+    the scan, exactly as it should be.
+
+    Determinism: init = farthest-point (maximin) traversal of the
+    ``init_sample`` lowest-vec_id vectors — a row-group-pruned point
+    read, then a driver-local O(init_sample × k) pass starting from
+    vec_id 0 and repeatedly adding the sample vector with the LOWEST
+    max-cosine to the chosen set (ties → lowest vec_id; the pushdown
+    assumes the input_hint's dense 0-based vec_ids — widen
+    ``init_sample`` for sparse id spaces). No RNG
+    anywhere; updates fold EXACT integer sums, so the fit is
+    independent of partitioning, batch order and parallelism.
+    Empty clusters keep their previous centroid. Ties in argmax break
+    to the lowest cluster index (numpy first-max).
+
+    The quantized (vec_id, int embedding) stream is materialized ONCE
+    and reused across iterations + the final assignment — object-store
+    resident (spills under pressure); at 100 TB prefer re-reading the
+    parquet per pass or fitting on a bounded consistent sample
+    (``sample_documents_consistent_ds`` pattern). Returns
+    (centroids k×d float64 unit rows, the materialized quantized
+    Dataset) for downstream assignment passes."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    init = pq.read_table(
+        path, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(k, init_sample))],
+    ).sort_by("vec_id")
+    _, init_ints = _emb_ints(init)
+    if len(init_ints) < k:
+        raise ValueError(f"k={k} exceeds table rows {len(init_ints)}")
+    cent = _maximin_init(
+        _unit_rows(init_ints.astype(np.float64) / _EMB_SCALE), k
+    )
+    d = cent.shape[1]
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        vids, ints = _emb_ints(batch)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "q": pa.array(list(ints), pa.list_(pa.int64(), d)),
+            }
+        )
+
+    quant = (
+        sized_read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(quantize, batch_format="pyarrow")
+        .materialize()
+    )
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partials(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            ints = np.stack(
+                [np.asarray(x) for x in batch["q"].to_pylist()]
+            ).astype(np.int64)
+            a = (_unit_rows(ints.astype(np.float64) / _EMB_SCALE) @ c.T
+                 ).argmax(axis=1)
+            counts = np.bincount(a, minlength=len(c))
+            sums = np.zeros((len(c), ints.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, ints)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "c": pa.array(nz.astype(np.int32), pa.int32()),
+                    "n": pa.array(counts[nz], pa.int64()),
+                    "s": pa.array(list(sums[nz]), pa.list_(pa.int64(), d)),
+                }
+            )
+
+        rows = quant.map_batches(partials, batch_format="pyarrow").to_pandas()
+        agg_n = np.zeros(k, dtype=np.int64)
+        agg_s = np.zeros((k, d), dtype=np.int64)
+        for c, n, s in zip(rows["c"], rows["n"], rows["s"]):
+            agg_n[c] += n
+            agg_s[c] += np.asarray(s, dtype=np.int64)
+        nz = agg_n > 0
+        new = cent.copy()
+        new[nz] = _unit_rows(
+            agg_s[nz].astype(np.float64) / (agg_n[nz, None] * _EMB_SCALE)
+        )
+        cent = new
+    return cent, quant
+
+
+def kmeans_embeddings_ds(
+    sf_dir: str, k: int = 10, iters: int = 5
+) -> "ray.data.Dataset":
+    """(vec_id, cluster) assignment Dataset from :func:`kmeans_fit` —
+    one more broadcast-assign pass, no shuffle."""
+    cent, quant = kmeans_fit(sf_dir, k, iters)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ints = np.stack(
+            [np.asarray(x) for x in batch["q"].to_pylist()]
+        ).astype(np.int64)
+        a = (_unit_rows(ints.astype(np.float64) / _EMB_SCALE) @ c.T
+             ).argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(a.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return quant.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5) -> pd.DataFrame:
+    """Pandas shim over :func:`kmeans_embeddings_ds` (driver-gate
+    contract; pytest-oracled — iterative, not SQL-expressible)."""
+    out = kmeans_embeddings_ds(sf_dir, k, iters).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def semantic_dedup_ds(
+    sf_dir: str,
+    k: int = 10,
+    iters: int = 5,
+    eps: float = 0.95,
+    max_cluster: int = 100_000,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then inside
+    each cluster greedily drop any document whose cosine similarity to
+    an already-kept LOWER-vec_id document reaches ``eps`` —
+    keep-one-representative in embedding space, the semantic cousin of
+    the MinHash keep-min rule (reference keep-one:
+    src/relation_extraction/reporter.py).
+
+    Scale: the clustering pass is shuffle-free (see
+    :func:`kmeans_fit`); the ONE exchange is the groupby(cluster) that
+    co-locates each cluster's vectors for the O(m²) local prune — the
+    whole point of SemDeDup is that m ≈ n/k stays bounded because k
+    scales with the corpus (the paper uses k≈110k on LAION). A cluster
+    over ``max_cluster`` raises rather than degrading quietly: raise k.
+    Output: the KEPT (vec_id, cluster) rows."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    cent, quant = kmeans_fit(sf_dir, k, iters)
+    ref = ray.put(cent)
+
+    def assign_q(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ints = np.stack(
+            [np.asarray(x) for x in batch["q"].to_pylist()]
+        ).astype(np.int64)
+        a = (_unit_rows(ints.astype(np.float64) / _EMB_SCALE) @ c.T
+             ).argmax(axis=1)
+        return batch.append_column(
+            "cluster", pa.array(a.astype(np.int32), pa.int32())
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup cluster size {len(g)} > max_cluster "
+                f"{max_cluster}: raise k so clusters stay bounded "
+                "(SemDeDup sizes k to the corpus)"
+            )
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        ints = np.stack(
+            [np.asarray(x) for x in g["q"]]
+        ).astype(np.int64)
+        mn = _unit_rows(ints.astype(np.float64) / _EMB_SCALE)
+        sims = mn @ mn.T
+        kept: list[int] = []
+        for i in range(len(g)):
+            if not kept or sims[i, kept].max() < eps:
+                kept.append(i)
+        return g.loc[kept, ["vec_id", "cluster"]]
+
+    return (
+        quant.map_batches(assign_q, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
+def semantic_dedup(
+    sf_dir: str, k: int = 10, iters: int = 5, eps: float = 0.95
+) -> pd.DataFrame:
+    """Pandas shim over :func:`semantic_dedup_ds` (driver-gate
+    contract; pytest-oracled — iterative, not SQL-expressible)."""
+    out = semantic_dedup_ds(sf_dir, k, iters, eps).to_pandas()
+    out["cluster"] = out["cluster"].astype("int32")
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -1,0 +1,174 @@
+"""Exact local oracles for the iterative embedding operators
+(k-means, SemDeDup): the integer-quantized formulation makes the
+distributed fit bit-identical to a single-process NumPy replica, so
+these tests assert EXACT equality of assignments and kept ids — the
+same oracle style as unigram_logprob, for an algorithm SQL can't
+express (hence pytest-oracled in the driver gate)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from finance_sc_relations_ray.pipelines.mlops import (
+    _EMB_SCALE,
+    kmeans_embeddings,
+    semantic_dedup,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _unit(q: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(q, axis=1, keepdims=True)
+    return np.divide(q, n, out=np.zeros_like(q), where=n > 0)
+
+
+def _load_ints(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    return vids, np.rint(m * _EMB_SCALE).astype(np.int64)
+
+
+def _ref_maximin(sample: np.ndarray, k: int) -> np.ndarray:
+    chosen = [0]
+    best = sample @ sample[0]
+    for _ in range(k - 1):
+        nxt = int(best.argmin())
+        chosen.append(nxt)
+        best = np.maximum(best, sample @ sample[nxt])
+    return sample[chosen].copy()
+
+
+def _ref_kmeans(sf_dir: str, k: int, iters: int) -> pd.DataFrame:
+    """Single-process Lloyd's replica of pipelines.mlops.kmeans_fit:
+    same maximin init over the 2048 lowest vec_ids, same integer
+    sums, same spherical update, same first-max tie break."""
+    vids, ints = _load_ints(sf_dir)
+    order = np.argsort(vids, kind="stable")
+    vids, ints = vids[order], ints[order]
+    sample = _unit(ints[:2048].astype(np.float64) / _EMB_SCALE)
+    cent = _ref_maximin(sample, k)
+    mn = _unit(ints.astype(np.float64) / _EMB_SCALE)
+    for _ in range(iters):
+        a = (mn @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            members = ints[a == c]
+            if len(members):
+                s = members.sum(axis=0, dtype=np.int64)
+                new[c] = _unit(
+                    (s.astype(np.float64) / (len(members) * _EMB_SCALE))[None]
+                )[0]
+        cent = new
+    a = (mn @ cent.T).argmax(axis=1)
+    return pd.DataFrame({"vec_id": vids, "cluster": a.astype(np.int32)}), cent
+
+
+def test_kmeans_matches_local_replica_exactly(ray_session):
+    got = kmeans_embeddings(SF, k=10, iters=5)
+    exp, _ = _ref_kmeans(SF, k=10, iters=5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+
+
+def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
+    """Planted geometry (the sf tables' label column is NOT geometric —
+    members average cosine ~0.14 to their label centroid, so it can't
+    oracle a clustering): 10 well-separated centers × 20 noisy members
+    must come back with purity 1.0, proving the operator clusters
+    MEANING, not just that it is deterministic."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(7)
+    centers = _unit(rng.randn(10, 64))
+    vecs, labels = [], []
+    for c in range(10):
+        members = _unit(centers[c] + 0.03 * rng.randn(20, 64))
+        vecs.extend(members)
+        labels.extend([c] * 20)
+    order = rng.permutation(200)  # ids uncorrelated with clusters
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(vecs[i], dtype=np.float32) for i in order],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([labels[i] for i in order], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    got = kmeans_embeddings(str(tmp_path), k=10, iters=5)
+    df = got.assign(label=[labels[i] for i in order])
+    purity = (
+        df.groupby("cluster")["label"]
+        .agg(lambda s: s.value_counts().iloc[0])
+        .sum()
+        / len(df)
+    )
+    assert purity == 1.0, purity
+
+
+def test_semantic_dedup_matches_local_replica_exactly(ray_session):
+    got = semantic_dedup(SF, k=10, iters=5, eps=0.95)
+    exp_assign, _ = _ref_kmeans(SF, k=10, iters=5)
+    vids, ints = _load_ints(SF)
+    mn = _unit(ints.astype(np.float64) / _EMB_SCALE)
+    by_vid = {v: i for i, v in enumerate(vids)}
+    kept_rows = []
+    for c, g in exp_assign.groupby("cluster"):
+        idx = [by_vid[v] for v in sorted(g["vec_id"])]
+        m = mn[idx]
+        sims = m @ m.T
+        kept: list[int] = []
+        for i in range(len(idx)):
+            if not kept or sims[i, kept].max() < 0.95:
+                kept.append(i)
+                kept_rows.append((vids[idx[i]], c))
+    exp = (
+        pd.DataFrame(kept_rows, columns=["vec_id", "cluster"])
+        .astype({"cluster": "int32"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_semantic_dedup_greedy_invariants(ray_session):
+    """Structural invariants, independent of the replica: kept set is
+    an eps-separated dominating set per cluster in greedy vec_id
+    order."""
+    kept = semantic_dedup(SF, k=10, iters=5, eps=0.95)
+    assign, _ = _ref_kmeans(SF, k=10, iters=5)
+    vids, ints = _load_ints(SF)
+    mn = _unit(ints.astype(np.float64) / _EMB_SCALE)
+    by_vid = {v: i for i, v in enumerate(vids)}
+    kept_set = set(kept["vec_id"])
+    for c, g in assign.groupby("cluster"):
+        members = sorted(g["vec_id"])
+        km = [v for v in members if v in kept_set]
+        k_mat = mn[[by_vid[v] for v in km]]
+        # pairwise eps-separation among kept
+        if len(km) > 1:
+            s = k_mat @ k_mat.T
+            np.fill_diagonal(s, 0.0)
+            assert s.max() < 0.95
+        # every dropped member is eps-close to an EARLIER kept one
+        for v in members:
+            if v in kept_set:
+                continue
+            earlier = [u for u in km if u < v]
+            e_mat = mn[[by_vid[u] for u in earlier]]
+            assert len(earlier) and (e_mat @ mn[by_vid[v]]).max() >= 0.95
+
+
+def test_semantic_dedup_cluster_cap_raises(ray_session):
+    with pytest.raises(Exception, match="max_cluster"):
+        from finance_sc_relations_ray.pipelines.mlops import semantic_dedup_ds
+
+        semantic_dedup_ds(SF, k=1, iters=1, max_cluster=10).to_pandas()
