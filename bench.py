@@ -219,6 +219,12 @@ def run_scaling() -> dict:
     )
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
+    def _stat() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat's aggregate cpu line."""
+        with open("/proc/stat") as f:
+            p = [int(x) for x in f.readline().split()[1:9]]
+        return p[7], sum(p)
+
     def one(ncpu: int) -> dict:
         # scaling trials skip the saturated companion run — efficiency
         # is computed from the main kg time only
@@ -228,11 +234,20 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_PAGES=pages, GRAFT_BENCH_SATURATED="0",
                    GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_PARTITIONED="0")
+        s0, t0 = _stat()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        s1, t1 = _stat()
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        # co-tenant interference during THIS trial: jiffies stolen by
+        # the hypervisor as a fraction of the trial's total capacity.
+        # The same code measured 0.76 vs 0.44 efficiency in windows 30
+        # minutes apart; recording steal per trial makes the window
+        # quality auditable instead of anecdotal.
+        out["steal_frac"] = round((s1 - s0) / max(1, t1 - t0), 4)
+        return out
 
     # interleave trials (lo,hi,lo,hi) and take the per-level minimum:
     # the sandbox host is overcommitted (large /proc/stat steal time),
@@ -254,6 +269,10 @@ def run_scaling() -> dict:
         "trials": {
             str(lo): [r["value"] for r in runs[lo]],
             str(hi): [r["value"] for r in runs[hi]],
+        },
+        "steal_frac": {
+            str(lo): [r["steal_frac"] for r in runs[lo]],
+            str(hi): [r["steal_frac"] for r in runs[hi]],
         },
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
