@@ -1698,6 +1698,14 @@ def curate_documents_ds(
         .map_groups(keep_min, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
         .materialize()
     )
+    # NOT re-blocked: the dedup groupby leaves one near-empty block
+    # per hash bucket and the downstream exchanges pay a per-block
+    # barrier task each at gate scale — but collapsing the winner
+    # stream (tried: repartition to ~2 gate-scale blocks) caps the
+    # minhash signer's task parallelism at the block count, starving
+    # the shingle explode exactly like the 1-block reads documented
+    # in sources/io.sized_read_parquet(fanout=True). The empty-block
+    # barrier cost is the lesser, fixed-at-scale overhead.
 
     pairs = _minhash_pairs_ds(
         sf_dir,
