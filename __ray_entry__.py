@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": T.cap_per_source,
         "pack_token_offsets": T.pack_token_offsets,
         "resample_by_source": T.resample_by_source,
+        "dsir_importance": T.dsir_importance_documents,
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
         "token_length_quantiles": M.token_length_quantiles,
@@ -707,6 +708,41 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN right(source, 1) BETWEEN '0' AND '9'
                           THEN (right(source, 1)::INT + 1) / 10.0
                           ELSE 1.0 END) * 4294967296
+        """,
+        # DSIR hashed-ngram importance (pipelines/text.py): same md5-64
+        # token hash as the minhash family, add-1 smoothing, integer
+        # micro-log10 quantization term-for-term with the engine
+        "dsir_importance": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+                FROM documents
+            ), bt AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT
+                            % 1024 AS BIGINT) AS b
+                FROM t
+            ), cnt AS (
+                SELECT b,
+                       count(*) FILTER (
+                           WHERE source IN ('src1', 'src2', 'src3')
+                       ) AS n_t,
+                       count(*) AS n_s
+                FROM bt GROUP BY b
+            ), tot AS (
+                SELECT sum(n_t) AS nt, sum(n_s) AS ns FROM cnt
+            ), li AS (
+                SELECT b,
+                       CAST(floor(log10(
+                           ((n_t + 1)::DOUBLE / (tot.nt + 1024))
+                           / ((n_s + 1)::DOUBLE / (tot.ns + 1024))
+                       ) * 1000000 + 0.5) AS BIGINT) AS v
+                FROM cnt, tot
+            )
+            SELECT bt.doc_id,
+                   CAST(sum(li.v) AS BIGINT) AS micro_logratio
+            FROM bt JOIN li USING (b)
+            GROUP BY bt.doc_id
         """,
         # the md5-ordered within-stratum shuffle mirrored exactly;
         # round(n*0.2) can never land on .5 (n/5 has no .5 fraction),

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "repetition_stats_documents",
     "cap_per_source",
     "pack_token_offsets",
+    # r3: DSIR hashed-ngram importance (two map-only passes + one
+    # B-row aggregate)
+    "dsir_importance",
     "knn_cosine",
     # r3: SemDeDup-style semantic dedup (distributed spherical k-means
     # + within-cluster greedy prune)

@@ -2150,3 +2150,129 @@ def resample_by_source(sf_dir: str) -> pd.DataFrame:
     """Pandas shim over :func:`resample_by_source_ds` (oracle gate)."""
     out = resample_by_source_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------- DSIR importance scoring ---------------
+def dsir_importance_documents_ds(
+    sf_dir: str,
+    target_sources: tuple[str, ...] = ("src1", "src2", "src3"),
+    num_feature_buckets: int = 1024,
+) -> "ray.data.Dataset":
+    """DSIR-style hashed-n-gram importance scores (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each document by how much its token distribution looks like
+    a TARGET domain (here: the ``target_sources`` subset of the
+    corpus) relative to the raw corpus — the importance-resampling
+    selector production LLM pipelines run between dedup and packing.
+
+    Features are tokens hashed into ``num_feature_buckets`` buckets
+    (the shared md5-64 hash, so the whole operator is SQL-expressible);
+    per-bucket log10 ratios of add-1-smoothed target vs raw
+    probabilities are quantized to integer 1e-6 units (the
+    unigram_logprob pattern), and a document's score is the exact
+    integer sum of its token occurrences' bucket weights.
+
+    Scale shape — CHEAPER than unigram_logprob because the feature
+    space is bounded by construction:
+      1. counts pass: map-only per-batch partials (≤ B rows per batch,
+         two int64 count columns) → one tiny groupby over ≤ B keys;
+      2. the B-row weight table is folded on the driver (bounded by
+         definition, like the decontamination benchmark set) and
+         ``ray.put`` BROADCAST — never a shuffle join;
+      3. score pass: MAP-ONLY — each doc's score needs only its own
+         tokens and the broadcast weights. No exchange at all.
+    At 10^12 docs the operator is two streaming scans and one B-row
+    aggregate. Zero-token docs have no score and are omitted (SQL
+    parity: they produce no token rows)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    B = num_feature_buckets
+    targets = frozenset(target_sources)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        nt = np.zeros(B, dtype=np.int64)
+        ns = np.zeros(B, dtype=np.int64)
+        for source, text in zip(
+            batch["source"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = textops.tokens_lower(text)
+            if not toks:
+                continue
+            bs = np.fromiter(
+                (_md5_64(t) % B for t in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            cnt = np.bincount(bs, minlength=B)
+            ns += cnt
+            if source in targets:
+                nt += cnt
+        nz = np.flatnonzero(ns)
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64), pa.int64()),
+                "n_t": pa.array(nt[nz], pa.int64()),
+                "n_s": pa.array(ns[nz], pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, ["source", "text"], fanout=True)
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(_Sum("n_t", alias_name="n_t"), _Sum("n_s", alias_name="n_s"))
+        .to_pandas()
+    )
+    ct = np.zeros(B, dtype=np.int64)
+    cs = np.zeros(B, dtype=np.int64)
+    if len(counts):
+        ct[counts["b"].to_numpy()] = counts["n_t"].to_numpy()
+        cs[counts["b"].to_numpy()] = counts["n_s"].to_numpy()
+    n_t_total = int(ct.sum())
+    n_s_total = int(cs.sum())
+    # add-1-smoothed log ratio, quantized to integer micro-units.
+    # Operation order mirrors the SQL oracle term for term; the same
+    # log10-ulp platform note as unigram_logprob applies.
+    li = np.floor(
+        np.log10(
+            ((ct + 1).astype(np.float64) / float(n_t_total + B))
+            / ((cs + 1).astype(np.float64) / float(n_s_total + B))
+        )
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    li_ref = ray.put(li)
+
+    def score(batch: pa.Table) -> pa.Table:
+        liv = ray.get(li_ref)
+        ids, sums = [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = textops.tokens_lower(text)
+            if not toks:
+                continue
+            bs = np.fromiter(
+                (_md5_64(t) % B for t in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            ids.append(doc_id)
+            sums.append(int(liv[bs].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "micro_logratio": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, ["doc_id", "text"], fanout=True).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+def dsir_importance_documents(sf_dir: str, **kw) -> pd.DataFrame:
+    """Pandas shim over :func:`dsir_importance_documents_ds` (oracle
+    gate)."""
+    out = dsir_importance_documents_ds(sf_dir, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
