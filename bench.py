@@ -124,11 +124,27 @@ def run_bench() -> dict:
     cfg = dataclasses.replace(
         scaled_config(ncpu), extra_entities=extra_entities
     )
+
+    def _host_stat() -> tuple[int, int, int]:
+        # (steal, used, total) jiffies; used = user+nice+system
+        with open("/proc/stat") as f:
+            p = [int(x) for x in f.readline().split()[1:9]]
+        return p[7], p[0] + p[1] + p[2], sum(p)
+
+    st0 = _host_stat()
     t0 = time.perf_counter()
     triples = build_kg_pipeline(
         pages_path, config=cfg, num_partitions=max(8, ncpu)
     ).count()
     kg_sec = time.perf_counter() - t0
+    st1 = _host_stat()
+    # window quality + cores the host ACTUALLY delivered during the
+    # timed section (jiffies are 10 ms): on this overcommitted box the
+    # 32-slot level is capped at ~the real core count however quiet
+    # the window, so nominal-CPU scaling efficiency understates the
+    # engine — efficiency vs cores-delivered is the honest companion.
+    kg_steal_frac = round((st1[0] - st0[0]) / max(1, st1[2] - st0[2]), 4)
+    kg_cores_used = round((st1[1] - st0[1]) / 100.0 / max(1e-9, kg_sec), 2)
 
     # apples-to-apples with round 1: also time the saturated (fixed
     # 60-entity gazetteer) workload — the realistic entity-scaled run
@@ -207,6 +223,8 @@ def run_bench() -> dict:
             round(n_docs / kg_sat_sec, 1) if kg_sat_sec else None
         ),
         "docs_per_sec": round(n_docs / kg_sec, 1),
+        "kg_steal_frac": kg_steal_frac,
+        "kg_cores_used": kg_cores_used,
     }
     ray.shutdown()
     return out
@@ -222,34 +240,26 @@ def run_scaling() -> dict:
     )
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
-    def _stat() -> tuple[int, int]:
-        """(steal, total) jiffies from /proc/stat's aggregate cpu line."""
-        with open("/proc/stat") as f:
-            p = [int(x) for x in f.readline().split()[1:9]]
-        return p[7], sum(p)
-
     def one(ncpu: int) -> dict:
         # scaling trials skip the saturated companion run — efficiency
         # is computed from the main kg time only
         # scaling trials measure the kg pipeline ONLY: the query suite
         # and the partitioned runner would burn the quiesced window on
-        # numbers that never feed the efficiency ratio
+        # numbers that never feed the efficiency ratio. The child
+        # measures steal + cores-delivered around its timed section
+        # (kg_steal_frac / kg_cores_used); the same code measured 0.76
+        # vs 0.44 nominal efficiency in windows 30 minutes apart, so
+        # window quality must ride with every trial to be auditable.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_PAGES=pages, GRAFT_BENCH_SATURATED="0",
                    GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_PARTITIONED="0")
-        s0, t0 = _stat()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         )
-        s1, t1 = _stat()
         out = json.loads(proc.stdout.strip().splitlines()[-1])
-        # co-tenant interference during THIS trial: jiffies stolen by
-        # the hypervisor as a fraction of the trial's total capacity.
-        # The same code measured 0.76 vs 0.44 efficiency in windows 30
-        # minutes apart; recording steal per trial makes the window
-        # quality auditable instead of anecdotal.
-        out["steal_frac"] = round((s1 - s0) / max(1, t1 - t0), 4)
+        out["steal_frac"] = out["kg_steal_frac"]
+        out["cores_used"] = out["kg_cores_used"]
         return out
 
     # interleave trials (lo,hi,lo,hi) and take the per-level minimum:
@@ -263,6 +273,17 @@ def run_scaling() -> dict:
     t_lo = min(r["value"] for r in runs[lo])
     t_hi = min(r["value"] for r in runs[hi])
     eff = (t_lo / t_hi) / (hi / lo)
+    # honest companion: throughput ratio per core the host DELIVERED
+    # during each level's fastest trial (min/min pairs the levels'
+    # luckiest windows; the low level's luck buys real cores while the
+    # high level stays capacity-capped, so nominal eff understates)
+    best_lo = min(runs[lo], key=lambda r: r["value"])
+    best_hi = min(runs[hi], key=lambda r: r["value"])
+    eff_cores = (
+        (t_lo / t_hi) / (best_hi["cores_used"] / best_lo["cores_used"])
+        if best_lo["cores_used"] and best_hi["cores_used"]
+        else None
+    )
     return {
         "metric": "kg_scaling_efficiency",
         f"sec_{lo}": t_lo,
@@ -277,6 +298,13 @@ def run_scaling() -> dict:
             str(lo): [r["steal_frac"] for r in runs[lo]],
             str(hi): [r["steal_frac"] for r in runs[hi]],
         },
+        "cores_used": {
+            str(lo): [r["cores_used"] for r in runs[lo]],
+            str(hi): [r["cores_used"] for r in runs[hi]],
+        },
+        "efficiency_vs_cores_delivered": (
+            round(eff_cores, 3) if eff_cores is not None else None
+        ),
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "levels": [lo, hi],
@@ -284,8 +312,49 @@ def run_scaling() -> dict:
     }
 
 
+def run_probe(seconds: float = 8.0, nproc: int = 16) -> dict:
+    """Qualify the measurement window: steal fraction UNDER DEMAND.
+    Idle steal is meaningless — the hypervisor only steals jiffies
+    from vCPUs that want to run — so spin nproc busy processes and
+    report steal/(steal+used). Under ~0.03 is a quiet window for
+    `--scaling`; 0.15+ means co-tenants own the cores right now."""
+    import multiprocessing as mp
+    import time as _t
+
+    def burn(stop_t):
+        x = 1.0
+        while _t.time() < stop_t:
+            x = x * 1.000001 + 1e-9
+
+    def snap():
+        with open("/proc/stat") as f:
+            p = f.readline().split()
+        return [int(x) for x in p[1:9]]
+
+    stop_t = _t.time() + seconds
+    procs = [mp.Process(target=burn, args=(stop_t,)) for _ in range(nproc)]
+    a = snap()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    b = snap()
+    d = [y - x for x, y in zip(a, b)]
+    used = d[0] + d[1] + d[2]
+    return {
+        "metric": "steal_under_load",
+        "steal_frac": round(d[7] / max(1, d[7] + used), 4),
+        "used_jiffies": used,
+        "steal_jiffies": d[7],
+        "nproc": nproc,
+        "seconds": seconds,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--probe" in sys.argv:
+        print(json.dumps(run_probe()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
