@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split_documents": M.stratified_split_documents,
         "hash_split_documents": M.hash_split_documents,
         "sample_documents_consistent": M.sample_documents_consistent,
+        "sample_documents_weighted": M.sample_documents_weighted,
         "embedding_dup_pairs": M.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": M.embedding_dup_pairs_lsh,
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
@@ -775,6 +776,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             ORDER BY md5('sample-42|' || doc_id::VARCHAR)
             LIMIT 100
+        """,
+        # A-ES weighted sample: key = u^(1/w), top-k keys. pow() on the
+        # same doubles both sides (same libm); continuous keys make
+        # last-ulp ties a non-event
+        "sample_documents_weighted": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       pow(
+                           (('0x' || substr(
+                                 md5('wsample-42|' || doc_id::VARCHAR), 1, 8
+                             ))::UBIGINT + 0.5) / 4294967296.0,
+                           1.0 / n_chars
+                       ) AS key
+                FROM documents
+                ORDER BY key DESC
+                LIMIT 100
+            )
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

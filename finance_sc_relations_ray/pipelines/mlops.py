@@ -698,3 +698,68 @@ def semantic_dedup(
     out = semantic_dedup_ds(sf_dir, k, iters, eps).to_pandas()
     out["cluster"] = out["cluster"].astype("int32")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def sample_documents_weighted_ds(
+    sf_dir: str, k: int = 100
+) -> "ray.data.Dataset":
+    """Deterministic WEIGHTED k-sample without replacement
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir", the A-ES scheme): each doc gets key = u^(1/w) with
+    u = md5-derived uniform and w = ``n_chars`` (stand-in for any
+    quality weight); the k LARGEST keys are the sample, and inclusion
+    probability is proportional to weight. Completes the sampling
+    family (uniform bottom-k / stratified / hash split) with the
+    weighted member production pipelines use for quality-skewed draws.
+
+    Same scale shape as :func:`sample_documents_consistent_ds`: each
+    batch emits only its local top-k keys, the final reduce is a
+    distributed sort+limit over ≤ k × n_batches rows, and the result
+    is independent of partitioning and parallelism (keys are pure
+    per-row functions). MERGEABLE: the global top-k of a union equals
+    the top-k of the shards' top-ks — tested. Oracle: SQL pow() on
+    the same doubles (same libm; ties need keys equal to the last
+    ulp, which continuous keys never are)."""
+    import hashlib
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hs = np.fromiter(
+            (
+                int(
+                    hashlib.md5(f"wsample-42|{d}".encode("utf-8")).hexdigest()[
+                        :8
+                    ],
+                    16,
+                )
+                for d in ids
+            ),
+            dtype=np.float64,
+            count=len(ids),
+        )
+        u = (hs + 0.5) / 4294967296.0
+        key = u ** (1.0 / w)
+        order = np.lexsort((np.asarray(ids), -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [ids[i] for i in order], pa.int64()
+                ),
+                "key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort("key", descending=True)
+        .limit(k)
+    )
+
+
+def sample_documents_weighted(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Pandas shim over :func:`sample_documents_weighted_ds` (oracle
+    gate)."""
+    out = sample_documents_weighted_ds(sf_dir, k).to_pandas()[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
