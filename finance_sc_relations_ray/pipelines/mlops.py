@@ -365,7 +365,6 @@ def embedding_dup_pairs_lsh_ds(
     # same combiner shape as stages/shuffle.distinct_pairs_ds, with
     # keep-first-by-(a,b) so a last-ulp cosine jitter between two
     # buckets' matmuls can never yield two rows for one pair
-    import zlib
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
