@@ -235,6 +235,7 @@ def embedding_dup_pairs_lsh_ds(
     target_miss: float = 1e-6,
     max_bands: int = 64,
     max_bucket_vecs: int = 2000,
+    on_degenerate: str = "star",
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via sign-LSH banding — the SCALE
     path for ``embedding_dup_pairs`` (r2 verdict item #2): NOTHING is
@@ -258,7 +259,14 @@ def embedding_dup_pairs_lsh_ds(
     candidate) and is kept only because the exact oracle uses it. For
     payload-heavy embeddings, band on a float16/PCA-reduced copy and
     re-fetch full vectors for the verify via the minhash-style
-    candidate funnel instead."""
+    candidate funnel instead.
+
+    ``on_degenerate``: what to do when an LSH bucket exceeds
+    ``max_bucket_vecs`` — ``"star"`` (production: verify star pairs to
+    the min id only, logged) or ``"raise"`` (oracle-gated contexts:
+    the star cap is NOT modeled by the exact-all-pairs SQL oracle, so
+    fail loudly instead of hash-mismatching confusingly; mirrors
+    ``_minhash_pairs_ds``)."""
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
     r, n_bands = lsh_pair_params(threshold, target_miss, max_bands)
@@ -320,6 +328,13 @@ def embedding_dup_pairs_lsh_ds(
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             n = len(ids)
             if n > max_bucket_vecs:
+                if on_degenerate == "raise":
+                    raise ValueError(
+                        f"degenerate LSH bucket with {n} vecs > cap "
+                        f"{max_bucket_vecs}: the star cap is not "
+                        "modeled by the exact SQL oracle — raise the "
+                        "cap or run with on_degenerate='star'"
+                    )
                 print(
                     f"[emb-lsh] degenerate LSH bucket: {n} vecs > cap "
                     f"{max_bucket_vecs}; verifying star pairs only"
@@ -399,11 +414,13 @@ def embedding_dup_pairs_lsh(
     target_miss: float = 1e-6,
     max_bands: int = 64,
     max_bucket_vecs: int = 2000,
+    on_degenerate: str = "star",
 ) -> pd.DataFrame:
     """Pandas shim over :func:`embedding_dup_pairs_lsh_ds` (r2 verdict
     #8: the distributed core stays composable as a Dataset)."""
     out = embedding_dup_pairs_lsh_ds(
-        sf_dir, threshold, target_miss, max_bands, max_bucket_vecs
+        sf_dir, threshold, target_miss, max_bands, max_bucket_vecs,
+        on_degenerate,
     ).to_pandas()
     if out.empty:
         return pd.DataFrame(
@@ -624,6 +641,74 @@ def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _greedy_prune(unit_rows: np.ndarray, eps: float) -> list[int]:
+    """SemDeDup's within-cluster greedy keep-one rule over a matrix of
+    UNIT rows sorted by id: keep row i iff its max cosine to an
+    already-KEPT earlier row is < eps. Shared by
+    :func:`semantic_dedup_ds` (k-means assignments) and
+    :func:`semantic_prune_documents_ds` (hash assignments, SQL-oracled)
+    so the oracle checks the exact production prune code."""
+    sims = unit_rows @ unit_rows.T
+    kept: list[int] = []
+    for i in range(len(unit_rows)):
+        if not kept or sims[i, kept].max() < eps:
+            kept.append(i)
+    return kept
+
+
+def semantic_prune_documents_ds(
+    sf_dir: str, k: int = 8, eps: float = 0.4
+) -> "ray.data.Dataset":
+    """The SemDeDup PRUNE stage in isolation, made SQL-checkable (r3
+    verdict #5): assignments come from a deterministic md5 hash of
+    vec_id (SQL-expressible) instead of the iterative k-means fit, so
+    a DuckDB recursive CTE can replay the exact greedy keep-one
+    decision chain per cluster. Exercises the production exchange
+    (groupby(cluster) co-locating each cluster's vectors) and the
+    exact :func:`_greedy_prune` code that ``semantic_dedup_ds`` runs —
+    only the assignment differs. eps matches the dup-pairs threshold
+    (0.4) so prune events actually occur on the testdata. Output: the
+    KEPT (vec_id, cluster) rows."""
+    import hashlib
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_pylist()
+        cl = [
+            int(
+                hashlib.md5(f"clust-42|{v}".encode("utf-8")).hexdigest()[:8],
+                16,
+            )
+            % k
+            for v in vids
+        ]
+        return batch.append_column("cluster", pa.array(cl, pa.int32()))
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        kept = _greedy_prune(_unit_rows(m), eps)
+        return g.loc[kept, ["vec_id", "cluster"]]
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
+def semantic_prune_documents(
+    sf_dir: str, k: int = 8, eps: float = 0.4
+) -> pd.DataFrame:
+    """Pandas shim over :func:`semantic_prune_documents_ds` (oracle
+    gate)."""
+    out = semantic_prune_documents_ds(sf_dir, k, eps).to_pandas()
+    out["cluster"] = out["cluster"].astype("int32")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def semantic_dedup_ds(
     sf_dir: str,
     k: int = 10,
@@ -675,11 +760,7 @@ def semantic_dedup_ds(
             [np.asarray(x) for x in g["q"]]
         ).astype(np.int64)
         mn = _unit_rows(ints.astype(np.float64) / _EMB_SCALE)
-        sims = mn @ mn.T
-        kept: list[int] = []
-        for i in range(len(g)):
-            if not kept or sims[i, kept].max() < eps:
-                kept.append(i)
+        kept = _greedy_prune(mn, eps)
         return g.loc[kept, ["vec_id", "cluster"]]
 
     return (
@@ -718,12 +799,25 @@ def sample_documents_weighted_ds(
     per-row functions). MERGEABLE: the global top-k of a union equals
     the top-k of the shards' top-ks — tested. Oracle: SQL pow() on
     the same doubles (same libm; ties need keys equal to the last
-    ulp, which continuous keys never are)."""
+    ulp, which continuous keys never are).
+
+    Contract: weights must be strictly positive — ``u ** (1/w)`` is
+    undefined at w ≤ 0 (w = 0 divides by zero; engine/oracle parity
+    would then hinge on each side's division-by-zero semantics), so a
+    non-positive weight raises ValueError rather than silently ranking
+    the row. The oracle SQL shares the contract (documents.n_chars ≥ 1
+    by construction in the testdata)."""
     import hashlib
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(w) and w.min() <= 0:
+            bad = int(np.asarray(ids)[w <= 0][0])
+            raise ValueError(
+                f"sample_documents_weighted: non-positive weight for "
+                f"doc_id={bad}; A-ES keys u**(1/w) require w > 0"
+            )
         hs = np.fromiter(
             (
                 int(

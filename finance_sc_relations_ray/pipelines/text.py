@@ -91,14 +91,19 @@ def sentencize_documents(sf_dir: str) -> "ray.data.Dataset":
     two masks reproduce findall's edge cases exactly — a piece must
     contain a non-terminator char (findall never yields a piece whose
     ``[^.!?]+`` part is empty, which otherwise happens for a LEADING
-    terminator run) and must be non-empty after the strip. Assumes
-    input text contains no NUL bytes (asserted)."""
+    terminator run) and must be non-empty after the strip. Input text
+    must contain no NUL bytes (data validation — raises ValueError, not
+    assert, so the check survives ``python -O``)."""
     import numpy as np
     import pyarrow.compute as pc
 
     def f(batch: pa.Table) -> pa.Table:
         text = batch["text"]
-        assert pc.sum(pc.count_substring(text, "\x00")).as_py() in (0, None)
+        if pc.sum(pc.count_substring(text, "\x00")).as_py() not in (0, None):
+            raise ValueError(
+                "sentencize_documents: input text contains NUL bytes, "
+                "which collide with the internal split sentinel"
+            )
         pieces = pc.split_pattern(
             pc.replace_substring_regex(text, r"([.!?]+)", "\\1\x00"), "\x00"
         ).combine_chunks()

@@ -83,11 +83,18 @@ def sized_read_parquet(
 
     try:
         if os.path.isdir(path):
-            total = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
+            # Walk the whole tree: hive-partitioned layouts (part=N/...)
+            # keep their files below the top level, and summing only
+            # os.listdir would read total=0 and force a 1-block read.
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            if total == 0:
+                total = None  # no parquet found: leave stock sizing
         else:
             total = os.path.getsize(path)
     except OSError:
