@@ -510,8 +510,21 @@ def _maximin_init(sample: np.ndarray, k: int) -> np.ndarray:
     return sample[chosen].copy()
 
 
+# Above this input size the quantized corpus is NOT materialized for
+# the k-means iterations (refit_source="auto" → "reread"): pinning ~the
+# corpus in the object store for iteration reuse is the one pattern the
+# r3 verdict flagged as a 100-TB scale-killer. Below it, materialize —
+# re-reading a few-MB table 5× costs more than it saves.
+_KMEANS_MATERIALIZE_GATE = 256 << 20
+
+
 def kmeans_fit(
-    sf_dir: str, k: int = 10, iters: int = 5, init_sample: int = 2048
+    sf_dir: str,
+    k: int = 10,
+    iters: int = 5,
+    init_sample: int = 2048,
+    refit_source: str = "auto",
+    fit_sample_rows: int = 65536,
 ) -> tuple[np.ndarray, "ray.data.Dataset"]:
     """Distributed Lloyd's k-means over the ``embeddings`` table
     (spherical variant: unit rows, unit centroids, argmax cosine).
@@ -537,14 +550,45 @@ def kmeans_fit(
     Empty clusters keep their previous centroid. Ties in argmax break
     to the lowest cluster index (numpy first-max).
 
-    The quantized (vec_id, int embedding) stream is materialized ONCE
-    and reused across iterations + the final assignment — object-store
-    resident (spills under pressure); at 100 TB prefer re-reading the
-    parquet per pass or fitting on a bounded consistent sample
-    (``sample_documents_consistent_ds`` pattern). Returns
-    (centroids k×d float64 unit rows, the materialized quantized
-    Dataset) for downstream assignment passes."""
+    ``refit_source`` — where each Lloyd's pass reads the corpus (r3
+    verdict #1, mirroring the unigram rederive-over-materialize
+    decision):
+
+    - ``"reread"``: the quantized stream stays LAZY; every iteration
+      re-executes the parquet read + quantize. Nothing is pinned in
+      the object store — at 100 TB each pass is a clean streaming
+      scan, which is the only shape that survives there.
+    - ``"materialize"``: quantize once, keep the stream object-store
+      resident across iterations (spills under pressure). Fastest at
+      gate scale; pins ~the corpus at 100 TB.
+    - ``"sample"``: iterate on a BOUNDED consistent sample — the
+      ``fit_sample_rows`` lowest-md5 vec_ids (the
+      ``sample_documents_consistent_ds`` bottom-k pattern), quantized
+      and materialized (small by construction). The fit sees the
+      sample only; callers' assignment passes stream the full corpus
+      once. Centroids differ from the full-corpus fit (deterministic,
+      replica-testable) — the SemDeDup paper itself fits on a subset.
+    - ``"auto"`` (default): ``"materialize"`` below a 256 MiB input
+      gate, else ``"reread"`` — scale-safe by default without taxing
+      small runs.
+
+    All modes return (centroids k×d float64 unit rows, the full-corpus
+    quantized Dataset — materialized only under "materialize") for
+    downstream assignment passes; "reread" and "materialize" produce
+    bit-identical centroids (integer sums are exact and the rows are
+    the same), which the pytest replica asserts for both."""
     path = os.path.join(sf_dir, "embeddings.parquet")
+    if refit_source == "auto":
+        try:
+            refit_source = (
+                "materialize"
+                if os.path.getsize(path) < _KMEANS_MATERIALIZE_GATE
+                else "reread"
+            )
+        except OSError:
+            refit_source = "reread"
+    if refit_source not in ("reread", "materialize", "sample"):
+        raise ValueError(f"unknown refit_source {refit_source!r}")
     init = pq.read_table(
         path, columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", max(k, init_sample))],
@@ -566,11 +610,44 @@ def kmeans_fit(
             }
         )
 
-    quant = (
-        sized_read_parquet(path, columns=["vec_id", "embedding"])
-        .map_batches(quantize, batch_format="pyarrow")
-        .materialize()
-    )
+    quant = sized_read_parquet(
+        path, columns=["vec_id", "embedding"]
+    ).map_batches(quantize, batch_format="pyarrow")
+    if refit_source == "materialize":
+        quant = quant.materialize()
+        fit_src = quant
+    elif refit_source == "sample":
+        # bounded consistent bottom-k sample for the fit: local top-k
+        # per batch → one sort+limit; ≤ fit_sample_rows rows live in
+        # the store however big the corpus is
+        import hashlib
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            vids = batch["vec_id"].to_pylist()
+            hs = [
+                hashlib.md5(f"kmfit-42|{v}".encode("utf-8")).hexdigest()
+                for v in vids
+            ]
+            order = sorted(range(len(vids)), key=lambda i: hs[i])[
+                :fit_sample_rows
+            ]
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"].take(pa.array(order)),
+                    "q": batch["q"].take(pa.array(order)),
+                    "h": pa.array([hs[i] for i in order], pa.string()),
+                }
+            )
+
+        fit_src = (
+            quant.map_batches(local_topk, batch_format="pyarrow")
+            .sort("h")
+            .limit(fit_sample_rows)
+            .drop_columns(["h"])
+            .materialize()
+        )
+    else:  # reread: lazy — each pass re-executes the scan+quantize
+        fit_src = quant
 
     for _ in range(iters):
         ref = ray.put(cent)
@@ -594,7 +671,7 @@ def kmeans_fit(
                 }
             )
 
-        rows = quant.map_batches(partials, batch_format="pyarrow").to_pandas()
+        rows = fit_src.map_batches(partials, batch_format="pyarrow").to_pandas()
         agg_n = np.zeros(k, dtype=np.int64)
         agg_s = np.zeros((k, d), dtype=np.int64)
         for c, n, s in zip(rows["c"], rows["n"], rows["s"]):
@@ -610,11 +687,11 @@ def kmeans_fit(
 
 
 def kmeans_embeddings_ds(
-    sf_dir: str, k: int = 10, iters: int = 5
+    sf_dir: str, k: int = 10, iters: int = 5, refit_source: str = "auto"
 ) -> "ray.data.Dataset":
     """(vec_id, cluster) assignment Dataset from :func:`kmeans_fit` —
     one more broadcast-assign pass, no shuffle."""
-    cent, quant = kmeans_fit(sf_dir, k, iters)
+    cent, quant = kmeans_fit(sf_dir, k, iters, refit_source=refit_source)
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -634,10 +711,12 @@ def kmeans_embeddings_ds(
     return quant.map_batches(assign, batch_format="pyarrow")
 
 
-def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5) -> pd.DataFrame:
+def kmeans_embeddings(
+    sf_dir: str, k: int = 10, iters: int = 5, refit_source: str = "auto"
+) -> pd.DataFrame:
     """Pandas shim over :func:`kmeans_embeddings_ds` (driver-gate
     contract; pytest-oracled — iterative, not SQL-expressible)."""
-    out = kmeans_embeddings_ds(sf_dir, k, iters).to_pandas()
+    out = kmeans_embeddings_ds(sf_dir, k, iters, refit_source).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
@@ -715,6 +794,7 @@ def semantic_dedup_ds(
     iters: int = 5,
     eps: float = 0.95,
     max_cluster: int = 100_000,
+    refit_source: str = "auto",
 ) -> "ray.data.Dataset":
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -734,7 +814,7 @@ def semantic_dedup_ds(
     Output: the KEPT (vec_id, cluster) rows."""
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
-    cent, quant = kmeans_fit(sf_dir, k, iters)
+    cent, quant = kmeans_fit(sf_dir, k, iters, refit_source=refit_source)
     ref = ray.put(cent)
 
     def assign_q(batch: pa.Table) -> pa.Table:
@@ -771,11 +851,17 @@ def semantic_dedup_ds(
 
 
 def semantic_dedup(
-    sf_dir: str, k: int = 10, iters: int = 5, eps: float = 0.95
+    sf_dir: str,
+    k: int = 10,
+    iters: int = 5,
+    eps: float = 0.95,
+    refit_source: str = "auto",
 ) -> pd.DataFrame:
     """Pandas shim over :func:`semantic_dedup_ds` (driver-gate
     contract; pytest-oracled — iterative, not SQL-expressible)."""
-    out = semantic_dedup_ds(sf_dir, k, iters, eps).to_pandas()
+    out = semantic_dedup_ds(
+        sf_dir, k, iters, eps, refit_source=refit_source
+    ).to_pandas()
     out["cluster"] = out["cluster"].astype("int32")
     return out.sort_values("vec_id").reset_index(drop=True)
 
