@@ -16,7 +16,74 @@ import json
 import sys
 
 
+def _check_backend_main(argv: list[str]) -> int:
+    """``cli check-backend <module:Class> --kind tagger`` — the
+    operator-facing conformance runner (r3 verdict #6): validates a
+    user-supplied bring-your-own-weights backend against the structural
+    contract (stages/backends.py) plus an actor-pool init-once smoke,
+    without the user reading test code. Exits 0 and prints a JSON
+    summary on success; exits 1 with the failing clause on violation.
+
+    The pool-smoke init ledger is a local temp file, so the smoke
+    assumes a single-node (local-mode) Ray session — which is how a
+    backend author runs it before shipping weights to a cluster."""
+    p = argparse.ArgumentParser(prog="cli check-backend")
+    p.add_argument("target", help="backend as module.path:ClassName")
+    p.add_argument(
+        "--kind", required=True,
+        choices=["tagger", "scorer", "tokenizer", "encoder"],
+    )
+    p.add_argument("--init-json", default=None,
+                   help="JSON dict of constructor kwargs")
+    p.add_argument("--no-pool-smoke", action="store_true",
+                   help="contract checks only (skip the Ray actor pool)")
+    p.add_argument("--num-cpus", type=int, default=4)
+    args = p.parse_args(argv)
+
+    import functools
+    import importlib
+
+    mod_name, _, cls_name = args.target.partition(":")
+    if not cls_name:
+        print("target must be module.path:ClassName", file=sys.stderr)
+        return 2
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    kwargs = json.loads(args.init_json) if args.init_json else {}
+    factory = functools.partial(cls, **kwargs) if kwargs else cls
+
+    import ray
+
+    if not args.no_pool_smoke and not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+    from .stages.backends import run_conformance
+
+    try:
+        summary = run_conformance(
+            factory, args.kind, pool_smoke=not args.no_pool_smoke
+        )
+    except AssertionError as exc:
+        print(json.dumps({"kind": args.kind, "contract": "FAILED",
+                          "error": str(exc) or repr(exc)}))
+        return 1
+    finally:
+        if ray.is_initialized():
+            ray.shutdown()
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "check-backend":
+        return _check_backend_main(argv[1:])
     p = argparse.ArgumentParser(description="Ray Data KG construction")
     p.add_argument("--pages", required=True, help="pages parquet file/dir")
     p.add_argument("--out", required=True, help="output dir (partitioned triples)")

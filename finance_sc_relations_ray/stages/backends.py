@@ -121,6 +121,151 @@ def check_encoder_contract(encode_fn, names: list[str]) -> None:
         assert np.array_equal(np.asarray(pv), np.asarray(orig))
 
 
+# ------------------------------------------------ conformance runner ---
+#: default probe inputs for the operator-facing conformance runner
+#: (cli.py check-backend): enough surface to exercise every structural
+#: clause of the contracts — multi-entity sentences (alias/possessive/
+#: punctuation shapes from the reference's own model test,
+#: test/test_language_model.py:1-32), tagged pair samples with marker
+#: corner cases, and name lists with case/suffix variants.
+CONTRACT_SAMPLES: dict[str, list[str]] = {
+    "tagger": [
+        "Acme Corp supplies widgets to Beta Industries.",
+        'Hewlett Packard ("HP") works with International Business '
+        "Machines or IBM and Fujitsu.",
+        "No entities here, just words.",
+        "Gamma LLC's subsidiary ships parts; Delta Inc pays Gamma LLC.",
+        "",
+    ],
+    "scorer": [
+        "[E1] Acme Corp [/E1] supplies widgets to [E2] Beta Industries [/E2].",
+        "[E2] Beta Industries [/E2] buys from [E1] Acme Corp [/E1].",
+        "[E1] X [/E1] and [E2] Y [/E2] are mentioned together.",
+    ],
+    "tokenizer": [
+        "[E1] Acme Corp [/E1] supplies [E2] Beta Industries [/E2].",
+        "plain text without any markers",
+        "[E1] " + "very long sentence " * 80 + "[/E1] tail [E2] end [/E2]",
+    ],
+    "encoder": [
+        "Acme Corp",
+        "ACME CORPORATION",
+        "Beta Industries",
+        "beta industries inc",
+        "Gamma",
+    ],
+}
+
+_CHECKS = {
+    "tagger": check_tagger_contract,
+    "scorer": check_scorer_contract,
+    "tokenizer": check_tokenizer_contract,
+    "encoder": check_encoder_contract,
+}
+
+
+def run_conformance(
+    backend_factory, kind: str, samples: list[str] | None = None,
+    pool_smoke: bool = True, concurrency: int = 2,
+) -> dict:
+    """Operator-facing conformance check for a bring-your-own-weights
+    backend (r3 verdict #6): run the structural contract for ``kind``
+    against a backend INSTANCE, then (for tagger/scorer) an actor-pool
+    smoke proving the backend behaves identically inside
+    ``map_batches(Cls, concurrency=N)`` — constructed once per actor
+    (a temp-file init ledger counts constructions across worker
+    processes) with pool outputs equal to direct single-process
+    outputs. Returns a summary dict; raises AssertionError/Exception
+    with the failing clause on any violation.
+
+    ``backend_factory``: zero-arg callable returning a backend
+    instance (a class object works). ``samples`` defaults to
+    :data:`CONTRACT_SAMPLES[kind]`."""
+    import os
+    import tempfile
+
+    if kind not in _CHECKS:
+        raise ValueError(f"unknown backend kind {kind!r}; one of {sorted(_CHECKS)}")
+    samples = samples if samples is not None else CONTRACT_SAMPLES[kind]
+    if callable(backend_factory):
+        try:
+            backend = backend_factory()
+        except TypeError:
+            # a bare encode function (e.g. functions.names:encode_names)
+            # IS the backend — there is nothing to construct
+            backend = backend_factory
+    else:
+        backend = backend_factory
+    if kind == "encoder":
+        _CHECKS[kind](
+            backend.encode if hasattr(backend, "encode") else backend, samples
+        )
+    else:
+        _CHECKS[kind](backend, samples)
+    out = {"kind": kind, "contract": "ok", "n_samples": len(samples)}
+    if not pool_smoke or kind in ("tokenizer", "encoder"):
+        return out
+
+    # actor-pool smoke: same backend class inside a 2-actor pool over
+    # enough batches that both actors see work
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    method = "spans" if kind == "tagger" else "score"
+    direct = [getattr(backend, method)(s) for s in samples]
+    ledger = tempfile.mktemp(prefix="fscr_conformance_", suffix=".log")
+
+    class _PoolAdapter:
+        def __init__(self):
+            self._b = backend_factory()
+            with open(ledger, "a") as fh:
+                fh.write(f"{os.getpid()}\n")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            res = [
+                repr(getattr(self._b, method)(s))
+                for s in batch["sent"].to_pylist()
+            ]
+            return pa.table(
+                {"idx": batch["idx"], "res": pa.array(res, pa.string())}
+            )
+
+    rows = [
+        {"idx": i, "sent": samples[i % len(samples)]}
+        for i in range(max(64, len(samples) * 8))
+    ]
+    got = (
+        ray.data.from_items(rows)
+        .repartition(8)
+        .map_batches(
+            _PoolAdapter, batch_format="pyarrow", batch_size=8,
+            concurrency=concurrency, num_cpus=0.5,
+        )
+        .to_pandas()
+        .sort_values("idx")
+    )
+    for i, r in zip(got["idx"], got["res"]):
+        assert r == repr(direct[i % len(samples)]), (
+            f"pool output diverges from direct output at row {i}"
+        )
+    try:
+        with open(ledger) as fh:
+            inits = [ln.strip() for ln in fh if ln.strip()]
+        os.unlink(ledger)
+    except OSError:
+        inits = []
+    assert 0 < len(inits) <= concurrency, (
+        f"backend constructed {len(inits)} times for a {concurrency}-actor "
+        "pool — init must happen once per actor, in __init__"
+    )
+    out.update(
+        {"pool_smoke": "ok", "n_actor_inits": len(inits),
+         "n_rows": len(rows), "concurrency": concurrency}
+    )
+    return out
+
+
 # ------------------------------------------------------- heavy fakes ---
 class HeavyFakeTagger:
     """CLEARLY-MARKED FAKE backend sized like a real model: ``__init__``
