@@ -96,6 +96,28 @@ def tokens_lower(text: str) -> list[str]:
     return [t.lower() for t in _TOKEN_RE.findall(text)]
 
 
+def tokens_lower_batch(texts: list[str]) -> tuple["object", "object"]:
+    """Batch form of :func:`tokens_lower`: one flat numpy object array
+    of all docs' lowercased tokens plus the per-doc token counts.
+    Semantics are identical — ``text.lower()`` then ``_TOKEN_RE``
+    (vs per-token lower) can only differ if a case mapping produced a
+    token character from whitespace or vice versa, which no Unicode
+    case mapping does; lowering first is also exactly the oracle's
+    ``regexp_extract_all(lower(text), '\\S+')`` order. Returned as
+    (flat, counts) so batch consumers can vectorize hashing (unique
+    tokens hashed once) and per-doc reduction (np.add.reduceat)."""
+    import numpy as np
+
+    per_doc = [_TOKEN_RE.findall(t.lower()) for t in texts]
+    counts = np.fromiter(
+        (len(p) for p in per_doc), dtype=np.int64, count=len(per_doc)
+    )
+    flat = np.array(
+        [tok for p in per_doc for tok in p], dtype=object
+    )
+    return flat, counts
+
+
 def shingles(text: str, n: int = 3) -> set[str]:
     """Word n-gram shingles over lowercase whitespace tokens."""
     toks = [t.lower() for t in _TOKEN_RE.findall(text)]

@@ -471,9 +471,11 @@ def _minhash_pairs_ds(
         return batch.append_column("coarse", pa.array(coarse, pa.int32()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = [], []
+        out_a, out_b = [], []
         for (_, _), grp in g.groupby(["band_id", "band_hash"]):
-            ids = sorted(set(grp["doc_id"].tolist()))
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
             if len(ids) > max_bucket_docs:
                 if on_degenerate == "raise":
                     raise ValueError(
@@ -492,14 +494,23 @@ def _minhash_pairs_ds(
                     f"[minhash] degenerate LSH bucket: {len(ids)} docs "
                     f"> cap {max_bucket_docs}; emitting star pairs only"
                 )
-                a.extend([ids[0]] * (len(ids) - 1))
-                b.extend(ids[1:])
+                out_a.append(np.repeat(ids[0], len(ids) - 1))
+                out_b.append(ids[1:])
                 continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
+            # all C(n,2) ordered pairs, vectorized (r3 ADVICE: the
+            # nested Python pair loop was the residual hot spot here)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_id_a": pd.Series([], dtype="int64"),
+                 "doc_id_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_id_a": np.concatenate(out_a),
+             "doc_id_b": np.concatenate(out_b)}
+        )
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
@@ -539,23 +550,40 @@ def _minhash_pairs_ds(
     n_need = ids_ds.count()
 
     def to_shingle_hashes(batch: pa.Table) -> pa.Table:
-        """doc rows → (doc_id, sh: distinct 64-bit shingle hashes).
-        Hashing the shingles makes the per-doc payload compact and the
-        set Jaccard exact up to 64-bit collisions (~n²/2⁶⁵ — nil)."""
-        ids, hs = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            ids.append(doc_id)
-            hs.append(
-                sorted(
-                    {_signed64(_md5_64(s)) for s in textops.shingles(text, 3)}
-                )
-            )
+        """doc rows → (doc_id, sh: distinct SORTED 64-bit shingle
+        hashes). Hashing the shingles makes the per-doc payload compact
+        and the set Jaccard exact up to 64-bit collisions (~n²/2⁶⁵ —
+        nil). Vectorized (r3 ADVICE): the batch's shingle vocabulary is
+        deduplicated FIRST so md5 runs once per distinct shingle (Zipf
+        makes that a large cut), and per-doc dedup/sort/sign run as
+        numpy kernels; uint64→int64 sign reinterpretation is a .view
+        (bijective, order-preserving within each doc's distinct set
+        after the signed sort)."""
+        texts = batch["text"].to_pylist()
+        per_doc = [list(textops.shingles(t, 3)) for t in texts]
+        flat = np.array(
+            [s for sh in per_doc for s in sh], dtype=object
+        )
+        offsets = np.zeros(len(per_doc) + 1, dtype=np.int64)
+        np.cumsum([len(sh) for sh in per_doc], out=offsets[1:])
+        if len(flat):
+            # hash-based dedup (object-array np.unique is
+            # Python-comparison-bound — see _bucket_ids note)
+            codes, uniq = pd.factorize(flat)
+            uh = np.fromiter(
+                (_md5_64(s) for s in uniq), dtype=np.uint64, count=len(uniq)
+            ).view(np.int64)
+            all_h = uh[codes]
+        else:
+            all_h = np.zeros(0, dtype=np.int64)
+        hs = [
+            np.unique(all_h[offsets[i] : offsets[i + 1]])
+            for i in range(len(per_doc))
+        ]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sh": pa.array(hs, pa.list_(pa.int64())),
+                "doc_id": batch["doc_id"],
+                "sh": pa.array([h.tolist() for h in hs], pa.list_(pa.int64())),
             }
         )
 
@@ -563,50 +591,21 @@ def _minhash_pairs_ds(
 
     # candidate-doc shingle sets: small side (candidates only), kept in
     # the object store (materialized once, consumed by both joins).
-    # When the candidate set is gate-scale small — proven by the
-    # DISTRIBUTED count above, not by collecting it — the doc_id filter
-    # is additionally PUSHED TO THE PARQUET SCAN (row-group statistics
-    # pruning — S7): at corpus scale the verify stage must not re-read
-    # every text byte to keep ~0.1% of rows. Collecting ≤100k ids of a
-    # count-proven-small result is the ordinary "small results may be
-    # collected" rule; above the gate NO id ever reaches the driver and
-    # the Bloom semi-join alone prunes the full scan.
-    import pyarrow.dataset as pads
+    # The candidate scan is the shared funnel read
+    # (sources/io.candidate_filtered_read): count-gated isin scan
+    # pushdown (EXACT) below pushdown_max_ids, Bloom semi-join above —
+    # Bloom false positives cost a wasted shingle computation and are
+    # then dropped by the INNER bucket join (no exact recheck needed).
+    from ..sources.io import candidate_filtered_read
 
-    if n_need <= pushdown_max_ids:
-        # gated path: the isin scan filter is EXACT, so no further
-        # membership stage is needed at all
-        need = sorted(r["doc_id"] for r in ids_ds.take_all())
-        cand_read = sized_read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-            filter=pads.field("doc_id").isin(need),
-        )
-    else:
-        # scale path: full scan + Bloom semi-join, driver holds only
-        # the fixed-size bitmap
-        from ..functions import bloom as bloom_mod
-
-        need_ref = ray.put(
-            bloom_mod.build_distributed(ids_ds, "doc_id", capacity=n_need)
-        )
-
-        class FilterNeeded:
-            def __init__(self):
-                self.need = ray.get(need_ref)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                mask = pa.array(
-                    [str(d) in self.need
-                     for d in batch["doc_id"].to_pylist()]
-                )
-                return batch.filter(mask)
-
-        cand_read = sized_read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-        ).map_batches(FilterNeeded, batch_format="pyarrow",
-                      concurrency=(1, 2), num_cpus=0.5)
+    cand_read = candidate_filtered_read(
+        os.path.join(sf_dir, "documents.parquet"),
+        key="doc_id",
+        columns=["doc_id", "text"],
+        ids_ds=ids_ds,
+        n_need=n_need,
+        pushdown_max_ids=pushdown_max_ids,
+    )
     sub = (
         cand_read
         .map_batches(to_shingle_hashes, batch_format="pyarrow")
@@ -633,23 +632,43 @@ def _minhash_pairs_ds(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_ids, b_ids, jac = [], [], []
-        for da, db, sa, sb in zip(
-            batch["doc_id_a"].to_pylist(),
-            batch["doc_id_b"].to_pylist(),
-            batch["sh_a"].to_pylist(),
-            batch["sh_b"].to_pylist(),
-        ):
-            j = textops.jaccard(set(sa), set(sb))
-            if j >= jaccard_threshold:
-                a_ids.append(da)
-                b_ids.append(db)
-                jac.append(round(j, 6))
+        """Exact set Jaccard over the (sorted, distinct) hash lists —
+        vectorized (r3 ADVICE): the per-pair intersection is a
+        searchsorted merge over the Arrow list buffers (C-speed) in
+        place of Python set ops; |A∩B|/(|A|+|B|−|A∩B|) matches
+        textops.jaccard exactly, including the both-empty → 1.0
+        convention."""
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY_PAIRS_TABLE
+        sa_col = batch["sh_a"].combine_chunks()
+        sb_col = batch["sh_b"].combine_chunks()
+        av = sa_col.values.to_numpy(zero_copy_only=False)
+        bv = sb_col.values.to_numpy(zero_copy_only=False)
+        ao = sa_col.offsets.to_numpy()
+        bo = sb_col.offsets.to_numpy()
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a = av[ao[i] : ao[i + 1]]
+            b = bv[bo[i] : bo[i + 1]]
+            if not len(a) and not len(b):
+                jac[i] = 1.0
+                continue
+            if len(a) > len(b):
+                a, b = b, a
+            if not len(a):
+                jac[i] = 0.0
+                continue
+            pos = np.searchsorted(b, a)
+            pos[pos == len(b)] = 0  # out-of-range → safe index (miss)
+            inter = int(np.count_nonzero(b[pos] == a))
+            jac[i] = inter / (len(a) + len(b) - inter)
+        hit = jac >= jaccard_threshold
         return pa.table(
             {
-                "doc_id_a": pa.array(a_ids, pa.int64()),
-                "doc_id_b": pa.array(b_ids, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "doc_id_a": batch["doc_id_a"].filter(pa.array(hit)),
+                "doc_id_b": batch["doc_id_b"].filter(pa.array(hit)),
+                "jaccard": pa.array(np.round(jac[hit], 6), pa.float64()),
             }
         )
 
@@ -1631,34 +1650,11 @@ def curate_documents_ds(
     Oracle: the full composition is SQL-expressible (bit-exact MinHash
     constants + recursive-CTE components) — see
     ``oracle_sql()['curate_documents']``."""
-    import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+    from ..stages.joins import NO_FUSE_NUM_CPUS
 
-    def gate(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        n_tokens = pc.count_substring_regex(text, _TOKEN_PAT).cast(pa.int64())
-        n_punct = (
-            pc.count_substring_regex(text, _PUNCT_PAT)
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        n_chars = (
-            pc.utf8_length(text)
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-        )
-        ratio = np.divide(  # unrounded (SQL parity)
-            n_punct, n_chars, out=np.zeros_like(n_punct), where=n_chars > 0
-        )
-        nt = n_tokens.to_numpy(zero_copy_only=False)
-        keep = (nt >= min_tokens) & (ratio <= max_punct_ratio)
-        return pa.table(
-            {"doc_id": batch["doc_id"], "text": text, "n_words": n_tokens}
-        ).filter(pa.array(keep))
+    gate = make_quality_gate(min_tokens, max_punct_ratio)
 
     eligible = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -1711,6 +1707,158 @@ def curate_documents_ds(
     # the shingle explode exactly like the 1-block reads documented
     # in sources/io.sized_read_parquet(fanout=True). The empty-block
     # barrier cost is the lesser, fixed-at-scale overhead.
+
+    return _curate_tail(
+        sf_dir, winners,
+        jaccard_threshold=jaccard_threshold, num_perm=num_perm,
+        bands=bands, max_iter=max_iter, num_buckets=num_buckets,
+        on_degenerate=on_degenerate, method=method,
+    )
+
+
+def make_quality_gate(min_tokens: int = 20, max_punct_ratio: float = 0.05):
+    """The curation stage-1 quality predicate as a reusable batch fn
+    (shared by the one-shot flagship and the resumable
+    ``curate_partitioned`` runner): vectorized min-token / punct-ratio
+    gate, emitting (doc_id, text, n_words) plus any extra columns the
+    batch carries (e.g. the partitioned runner's ``__part``)."""
+    import pyarrow.compute as pc
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_tokens = pc.count_substring_regex(text, _TOKEN_PAT).cast(pa.int64())
+        n_punct = (
+            pc.count_substring_regex(text, _PUNCT_PAT)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n_chars = (
+            pc.utf8_length(text)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        ratio = np.divide(  # unrounded (SQL parity)
+            n_punct, n_chars, out=np.zeros_like(n_punct), where=n_chars > 0
+        )
+        nt = n_tokens.to_numpy(zero_copy_only=False)
+        keep = (nt >= min_tokens) & (ratio <= max_punct_ratio)
+        cols = {"doc_id": batch["doc_id"], "text": text, "n_words": n_tokens}
+        for extra in batch.column_names:
+            if extra not in ("doc_id", "text") and extra.startswith("__"):
+                cols[extra] = batch[extra]
+        return pa.table(cols).filter(pa.array(keep))
+
+    return gate
+
+
+def part_winners_ds(gated: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-PART exact-dedup winners over a gated stream carrying a
+    ``__part`` column: one (h, doc_id, text, n_words, __part) row per
+    distinct md5(text) WITHIN each part, min doc_id. Winner-per-hash is
+    a min-semilattice, so merging per-part winners with another
+    keep-min pass yields exactly the global winners — the resumable
+    runner's mergeability contract (pipelines/run.curate_partitioned).
+    Combiner-first: each batch emits one candidate row per (part, h),
+    then one bucketed exchange reduces per part."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        best: dict[tuple[int, str], tuple[int, str, int]] = {}
+        for part, doc_id, text, nw in zip(
+            batch["__part"].to_pylist(),
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["n_words"].to_pylist(),
+        ):
+            h = textops.fingerprint(text)
+            cur = best.get((part, h))
+            if cur is None or doc_id < cur[0]:
+                best[(part, h)] = (doc_id, text, nw)
+        keys = list(best.keys())
+        return pa.table(
+            {
+                "__part": pa.array([k[0] for k in keys], pa.int32()),
+                "h": pa.array([k[1] for k in keys], pa.string()),
+                "hb": pa.array(
+                    [zlib.crc32(k[1].encode()) % 64 for k in keys], pa.int32()
+                ),
+                "doc_id": pa.array([best[k][0] for k in keys], pa.int64()),
+                "text": pa.array([best[k][1] for k in keys], pa.string()),
+                "n_words": pa.array([best[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby(["__part", "h"])["doc_id"].idxmin()
+        return g.loc[idx, ["__part", "h", "doc_id", "text", "n_words"]]
+
+    return (
+        gated.map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(keep_min, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
+def curate_from_winners_ds(
+    sf_dir: str,
+    stage1: "ray.data.Dataset",
+    jaccard_threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_iter: int = 30,
+    num_buckets: int = 64,
+    on_degenerate: str = "star",
+    method: str = "propagation",
+) -> "ray.data.Dataset":
+    """Stage 2 of the resumable curation runner: merge per-part winner
+    rows (h, doc_id, text, n_words) into GLOBAL winners (keep-min per
+    hash — exact because winner-per-hash is a min-semilattice over the
+    per-part partials), then run the shared near-dup tail. Equals the
+    one-shot :func:`curate_documents_ds` row-for-row on the same
+    input."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def add_hb(batch: pa.Table) -> pa.Table:
+        hb = [zlib.crc32(h.encode()) % 64 for h in batch["h"].to_pylist()]
+        return batch.append_column("hb", pa.array(hb, pa.int32()))
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("h")["doc_id"].idxmin()
+        return g.loc[idx, ["doc_id", "text", "n_words"]]
+
+    winners = (
+        stage1.map_batches(add_hb, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(keep_min, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+        .materialize()
+    )
+    return _curate_tail(
+        sf_dir, winners,
+        jaccard_threshold=jaccard_threshold, num_perm=num_perm,
+        bands=bands, max_iter=max_iter, num_buckets=num_buckets,
+        on_degenerate=on_degenerate, method=method,
+    )
+
+
+def _curate_tail(
+    sf_dir: str,
+    winners: "ray.data.Dataset",
+    jaccard_threshold: float,
+    num_perm: int,
+    bands: int,
+    max_iter: int,
+    num_buckets: int,
+    on_degenerate: str,
+    method: str,
+) -> "ray.data.Dataset":
+    """Stages 3-5 of the curation flagship (near-dup mine over the
+    exact-dedup winners → connected components → anti-join of cluster
+    losers), shared by the one-shot and resumable paths."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import bucket_lookup_join
 
     pairs = _minhash_pairs_ds(
         sf_dir,
@@ -2194,24 +2342,33 @@ def dsir_importance_documents_ds(
     B = num_feature_buckets
     targets = frozenset(target_sources)
 
+    def _bucket_ids(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """All docs' token bucket ids (flat) + per-doc token counts,
+        vectorized (r3 ADVICE): one batch-level tokenize, md5 computed
+        once per DISTINCT token in the batch (np.unique + inverse —
+        Zipf makes distinct ≪ total), modulo as one numpy op."""
+        flat, counts = textops.tokens_lower_batch(texts)
+        if len(flat) == 0:
+            return np.zeros(0, dtype=np.int64), counts
+        # hash-based dedup (pd.factorize), NOT np.unique: sorting an
+        # object array is Python-comparison-bound and measured 2-3×
+        # slower than the factorize hash pass at sf0.1
+        codes, uniq = pd.factorize(flat)
+        ub = np.fromiter(
+            (_md5_64(t) % B for t in uniq), dtype=np.int64, count=len(uniq)
+        )
+        return ub[codes], counts
+
     def partial_counts(batch: pa.Table) -> pa.Table:
-        nt = np.zeros(B, dtype=np.int64)
-        ns = np.zeros(B, dtype=np.int64)
-        for source, text in zip(
-            batch["source"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks = textops.tokens_lower(text)
-            if not toks:
-                continue
-            bs = np.fromiter(
-                (_md5_64(t) % B for t in toks),
-                dtype=np.int64,
-                count=len(toks),
-            )
-            cnt = np.bincount(bs, minlength=B)
-            ns += cnt
-            if source in targets:
-                nt += cnt
+        bs, counts = _bucket_ids(batch["text"].to_pylist())
+        is_target = np.fromiter(
+            (s in targets for s in batch["source"].to_pylist()),
+            dtype=bool,
+            count=batch.num_rows,
+        )
+        tok_target = np.repeat(is_target, counts)
+        ns = np.bincount(bs, minlength=B)
+        nt = np.bincount(bs[tok_target], minlength=B)
         nz = np.flatnonzero(ns)
         return pa.table(
             {
@@ -2250,23 +2407,19 @@ def dsir_importance_documents_ds(
 
     def score(batch: pa.Table) -> pa.Table:
         liv = ray.get(li_ref)
-        ids, sums = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks = textops.tokens_lower(text)
-            if not toks:
-                continue
-            bs = np.fromiter(
-                (_md5_64(t) % B for t in toks),
-                dtype=np.int64,
-                count=len(toks),
-            )
-            ids.append(doc_id)
-            sums.append(int(liv[bs].sum()))
+        bs, counts = _bucket_ids(batch["text"].to_pylist())
+        # per-doc exact integer sums via one reduceat over the flat
+        # weight vector; zero-token docs are dropped (SQL parity)
+        nonzero = counts > 0
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        if len(bs):
+            sums = np.add.reduceat(liv[bs], offsets[nonzero])
+        else:
+            sums = np.zeros(0, dtype=np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": batch["doc_id"].filter(pa.array(nonzero)),
                 "micro_logratio": pa.array(sums, pa.int64()),
             }
         )

@@ -109,3 +109,58 @@ def sized_read_parquet(
             _SMALL_READ_MAX_BLOCKS, max(1, math.ceil(total / _SMALL_BLOCK_BYTES))
         )
     return ray.data.read_parquet(path, **kwargs)
+
+
+def candidate_filtered_read(
+    path: str,
+    key: str,
+    columns: list[str],
+    ids_ds: "ray.data.Dataset",
+    n_need: int,
+    pushdown_max_ids: int = 100_000,
+) -> "ray.data.Dataset":
+    """Read only the rows of a parquet table whose ``key`` appears in
+    ``ids_ds`` (a Dataset with one distinct int64 ``key`` column) — the
+    candidate-funnel scan shared by the MinHash verify stage and the
+    reduced-copy embedding-LSH verify (r3 verdict #2).
+
+    Two regimes, switched by a DISTRIBUTED count (never a collect):
+
+    - ``n_need ≤ pushdown_max_ids``: the id list is collected (the
+      ordinary "small results may be collected" rule — its smallness is
+      count-proven first) and PUSHED TO THE PARQUET SCAN as an ``isin``
+      filter (row-group statistics pruning — S7). EXACT: no further
+      membership stage needed.
+    - above the gate: full column-pruned scan + Bloom semi-join; the
+      driver holds only the fixed-size bitmap built by a distributed
+      OR-reduce (functions/bloom.build_distributed). SUPERSET: Bloom
+      false positives survive, so callers must consume the result
+      through an INNER join on ``key`` (both call sites do), which
+      drops them for free."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    if n_need <= pushdown_max_ids:
+        need = sorted(r[key] for r in ids_ds.take_all())
+        return sized_read_parquet(
+            path, columns=columns, filter=pads.field(key).isin(need)
+        )
+
+    from ..functions import bloom as bloom_mod
+
+    need_ref = ray.put(bloom_mod.build_distributed(ids_ds, key, capacity=n_need))
+
+    class FilterNeeded:
+        def __init__(self):
+            self.need = ray.get(need_ref)
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            # vectorized probe (bit-identical to the scalar `in`): one
+            # numpy pass over all k probes instead of a Python loop
+            # per id (r3 ADVICE hot-path item)
+            mask = self.need.contains_many(batch[key].to_pylist())
+            return batch.filter(pa.array(mask))
+
+    return sized_read_parquet(path, columns=columns).map_batches(
+        FilterNeeded, batch_format="pyarrow", concurrency=(1, 2), num_cpus=0.5
+    )
