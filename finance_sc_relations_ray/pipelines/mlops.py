@@ -229,6 +229,196 @@ def _lsh_planes(dim: int, n: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n, dim))
 
 
+_EMPTY_VEC_PAIRS = pa.table(
+    {
+        "vec_id_a": pa.array([], pa.int64()),
+        "vec_id_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
+def _emb_lsh_funnel_ds(
+    sf_dir: str,
+    threshold: float,
+    r: int,
+    n_bands: int,
+    max_bucket_vecs: int,
+    on_degenerate: str,
+    pushdown_max_ids: int,
+) -> "ray.data.Dataset":
+    """Reduced-copy sign-LSH pair mining (r3 verdict #2): the band
+    exchange carries ONLY (vec_id, band_id, band_hash) — 20 bytes/row
+    instead of 20 + 4·d — and full vectors are re-fetched for the
+    exact verify through the minhash-style candidate funnel
+    (sources/io.candidate_filtered_read + two bucket joins). Candidate
+    generation is hash-identical to the ride-along plan (same seed-42
+    planes, same bit packing), so recall and the verified pair set are
+    unchanged; pair dedup now happens BEFORE the verify (cheaper: each
+    pair's cosine is computed once, not once per rediscovering band).
+
+    Band-exchange bytes at d=64 float32: 20/276 ≈ 7% of the ride-along
+    plan per band row (measured A/B in BASELINE.md round 4)."""
+    from ..sources.io import candidate_filtered_read
+    from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+    from ..stages.shuffle import distinct_pair_ids_ds, distinct_pairs_ds
+
+    def band_rows_ids(batch: pa.Table) -> pa.Table:
+        """vec rows → n_bands id-only band rows; band_hash packs the
+        band's r plane signs exactly as the ride-along plan."""
+        n = batch.num_rows
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(
+            np.float64
+        )
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        planes = _lsh_planes(m.shape[1], r * n_bands)
+        bits = (m @ planes.T > 0).astype(np.int64)
+        weights = (1 << np.arange(r)).astype(np.int64)
+        hashes = bits.reshape(n, n_bands, r) @ weights
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vids, n_bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n),
+                    pa.int32(),
+                ),
+                "band_hash": pa.array(hashes.reshape(-1), pa.int64()),
+            }
+        )
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        bi = np.asarray(batch["band_id"].to_pylist()).astype(np.uint64)
+        bh = np.asarray(batch["band_hash"].to_pylist()).astype(np.uint64)
+        coarse = (
+            ((bi * np.uint64(0x9E3779B97F4A7C15)) ^ (bh + np.uint64(1)))
+            % 64
+        ).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        """candidate (a < b) pairs per (band_id, band_hash) bucket —
+        ids only, np.triu_indices vectorized; degenerate buckets emit
+        star pairs to the min id (or raise in oracle-gated runs)."""
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["band_id", "band_hash"]):
+            ids = np.unique(grp["vec_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket_vecs:
+                if on_degenerate == "raise":
+                    raise ValueError(
+                        f"degenerate LSH bucket with {len(ids)} vecs > "
+                        f"cap {max_bucket_vecs}: the star cap is not "
+                        "modeled by the exact SQL oracle — raise the "
+                        "cap or run with on_degenerate='star'"
+                    )
+                print(
+                    f"[emb-lsh] degenerate LSH bucket: {len(ids)} vecs "
+                    f"> cap {max_bucket_vecs}; emitting star pairs only"
+                )
+                out_a.append(np.repeat(ids[0], len(ids) - 1))
+                out_b.append(ids[1:])
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series([], dtype="int64"),
+                 "vec_id_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"vec_id_a": np.concatenate(out_a),
+             "vec_id_b": np.concatenate(out_b)}
+        )
+
+    raw_pairs = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(band_rows_ids, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(
+            bucket_candidates, batch_format="pandas",
+            num_cpus=NO_FUSE_NUM_CPUS,
+        )
+    )
+    # distinct BEFORE the verify: ≤ n_bands rediscoveries collapse in
+    # the pair-combiner exchange, so each pair ships through the verify
+    # joins and pays its cosine exactly once. Materialized in the
+    # object store (consumed twice: id derivation + the join).
+    pairs_ds = distinct_pairs_ds(
+        raw_pairs, col_a="vec_id_a", col_b="vec_id_b"
+    ).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(_EMPTY_VEC_PAIRS)
+    ids_ds = distinct_pair_ids_ds(
+        pairs_ds, col_a="vec_id_a", col_b="vec_id_b", out_col="vec_id"
+    ).materialize()
+    n_need = ids_ds.count()
+
+    cand = candidate_filtered_read(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        key="vec_id",
+        columns=["vec_id", "embedding"],
+        ids_ds=ids_ds,
+        n_need=n_need,
+        pushdown_max_ids=pushdown_max_ids,
+    ).materialize()
+
+    lt = pa.list_(pa.float32())
+    schema1 = pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())])
+    nb = int(min(32, max(n_pairs, n_need) // 50_000 + 1))
+    j1 = bucket_lookup_join(
+        pairs_ds, cand, on="vec_id_a", right_key="vec_id",
+        payload={"embedding": "emb_a"}, left_schema=schema1,
+        payload_types={"emb_a": lt}, num_buckets=nb,
+    )
+    schema2 = schema1.append(pa.field("emb_a", lt))
+    j2 = bucket_lookup_join(
+        j1, cand, on="vec_id_b", right_key="vec_id",
+        payload={"embedding": "emb_b"}, left_schema=schema2,
+        payload_types={"emb_b": lt}, num_buckets=nb,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        """exact per-pair cosine over the re-fetched full vectors —
+        float64 normalize then row dot, matching the within-bucket
+        matmul to ~1 ulp (both ≪ the round-6 output grain)."""
+        n = batch.num_rows
+        if n == 0:
+            return _EMPTY_VEC_PAIRS
+        ea = batch["emb_a"].combine_chunks()
+        eb = batch["emb_b"].combine_chunks()
+        ao = ea.offsets.to_numpy()
+        widths = np.diff(ao)
+        d = int(widths[0])
+        if not (widths == d).all():  # ragged input: fail loudly
+            raise ValueError("embedding column has ragged dimensions")
+        a = (
+            ea.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(n, d)
+        )
+        b = (
+            eb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(n, d)
+        )
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        cos = np.einsum("ij,ij->i", a, b)
+        hit = cos >= threshold
+        return pa.table(
+            {
+                "vec_id_a": batch["vec_id_a"].filter(pa.array(hit)),
+                "vec_id_b": batch["vec_id_b"].filter(pa.array(hit)),
+                "cosine": pa.array(np.round(cos[hit], 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def embedding_dup_pairs_lsh_ds(
     sf_dir: str,
     threshold: float = 0.4,
@@ -236,30 +426,44 @@ def embedding_dup_pairs_lsh_ds(
     max_bands: int = 64,
     max_bucket_vecs: int = 2000,
     on_degenerate: str = "star",
+    band_payload: str = "ids",
+    pushdown_max_ids: int = 100_000,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via sign-LSH banding — the SCALE
     path for ``embedding_dup_pairs`` (r2 verdict item #2): NOTHING is
     broadcast and the full similarity matrix is never formed. Each
-    vector is exploded into ``n_bands`` (band_id, band_hash) rows with
-    its (float32) embedding riding along; one bucketed groupby
-    co-locates each LSH bucket; the EXACT cosine verify runs inside the
-    bucket (a ≤ max_bucket_vecs local matmul, star-capped above); and a
-    final combiner-distinct collapses the ≤ n_bands re-discoveries of
-    each pair. Verified-pair output ⊆ exact path always (verify is
-    exact); recall is tuned by ``lsh_pair_params`` (worst-case per-pair
-    miss ≤ ``target_miss`` at the threshold). Deterministic: seed-42
-    planes are derived per-task state, not shipped data.
+    vector is exploded into ``n_bands`` (band_id, band_hash) rows; one
+    bucketed groupby co-locates each LSH bucket; the EXACT cosine
+    verify runs over full float vectors (within the bucket, or — the
+    default — after a reduced-copy candidate funnel; see
+    ``band_payload``), star-capped on degenerate buckets; and
+    combiner-distinct collapses the ≤ n_bands re-discoveries of each
+    pair. Verified-pair output ⊆ exact path always (verify is exact);
+    recall is tuned by ``lsh_pair_params`` (worst-case per-pair miss ≤
+    ``target_miss`` at the threshold). Deterministic: seed-42 planes
+    are derived per-task state, not shipped data.
 
-    Scale notes (documented per the north rule): the band exchange
-    moves ``n_bands ×`` the embedding bytes — the standard
-    shuffle-by-band LSH join (cf. Spark MinHashLSH) — so at 10^12 rows
-    pick a realistic threshold: at 0.9 the tuner gives (r=10, B=58)
-    and random pairs collide in ~5% of buckets; the testdata's 0.4 is
-    adversarial for sign-LSH (near-orthogonal bulk ⇒ ~all pairs
-    candidate) and is kept only because the exact oracle uses it. For
-    payload-heavy embeddings, band on a float16/PCA-reduced copy and
-    re-fetch full vectors for the verify via the minhash-style
-    candidate funnel instead.
+    ``band_payload`` picks the exchange plan (r3 verdict #2):
+
+    - ``"ids"`` (default, the scale path): band rows carry ONLY
+      (vec_id, band_id, band_hash) — ~20 bytes/row vs 20 + 4·d — and
+      full vectors are re-fetched for the exact verify through the
+      minhash-style candidate funnel (count-gated isin pushdown /
+      Bloom semi-join + two bucket joins). Candidates, recall and the
+      verified pair set are hash-identical to the ride-along plan
+      (same planes, same packing; cross-validated in
+      tests/test_dedup_cross_validation.py).
+    - ``"embedding"``: the original single-exchange plan (embedding
+      rides along, verify is a within-bucket matmul). One fewer read
+      and no join — measured faster at gate scale / small d, but the
+      exchange ships ``n_bands ×`` the embedding bytes, which is the
+      wrong trade at corpus scale or d ≫ 64.
+
+    Threshold note (documented per the north rule): at 0.9 the tuner
+    gives (r=10, B=58) and random pairs collide in ~5% of buckets; the
+    testdata's 0.4 is adversarial for sign-LSH (near-orthogonal bulk ⇒
+    ~all pairs candidate) and is kept only because the exact oracle
+    uses it.
 
     ``on_degenerate``: what to do when an LSH bucket exceeds
     ``max_bucket_vecs`` — ``"star"`` (production: verify star pairs to
@@ -270,6 +474,16 @@ def embedding_dup_pairs_lsh_ds(
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
     r, n_bands = lsh_pair_params(threshold, target_miss, max_bands)
+
+    if band_payload == "ids":
+        return _emb_lsh_funnel_ds(
+            sf_dir, threshold, r, n_bands, max_bucket_vecs,
+            on_degenerate, pushdown_max_ids,
+        )
+    if band_payload != "embedding":
+        raise ValueError(
+            f"band_payload must be 'ids' or 'embedding', got {band_payload!r}"
+        )
 
     def band_rows(batch: pa.Table) -> pa.Table:
         """vec rows → n_bands rows (vec_id, band_id, band_hash,
@@ -415,12 +629,13 @@ def embedding_dup_pairs_lsh(
     max_bands: int = 64,
     max_bucket_vecs: int = 2000,
     on_degenerate: str = "star",
+    band_payload: str = "ids",
 ) -> pd.DataFrame:
     """Pandas shim over :func:`embedding_dup_pairs_lsh_ds` (r2 verdict
     #8: the distributed core stays composable as a Dataset)."""
     out = embedding_dup_pairs_lsh_ds(
         sf_dir, threshold, target_miss, max_bands, max_bucket_vecs,
-        on_degenerate,
+        on_degenerate, band_payload,
     ).to_pandas()
     if out.empty:
         return pd.DataFrame(
