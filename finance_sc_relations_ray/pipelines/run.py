@@ -223,7 +223,19 @@ def run_partitioned(
         for p in chunk:
             shutil.rmtree(os.path.join(out_dir, f"part={p}"), ignore_errors=True)
         # hive-partitioned distributed write: part=<k>/ dirs, exactly
-        # the per-part layout readers and compact_parts expect
+        # the per-part layout readers and compact_parts expect. The
+        # write emits one file per (block × part); the dedup stage
+        # leaves ~num_buckets blocks, so a GATE-SCALE chunk would write
+        # hundreds of near-empty files (512 × ~8 KiB at the 20k-page
+        # bench) that the merge_parts read-back then pays per-footer
+        # for (r3 verdict #4). Collapse blocks first when the chunk is
+        # small; at scale the same blocks hold GBs and the repartition
+        # is skipped, keeping the stock streaming write.
+        size_mb = deduped.size_bytes() / (1 << 20)
+        if size_mb < 256:
+            ok = ok.repartition(
+                max(len(chunk), int(size_mb // 16) + 1)
+            )
         ok.write_parquet(out_dir, partition_cols=["part"])
 
         chunk_sec = time.perf_counter() - t0
@@ -472,6 +484,13 @@ def compact_parts(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
 
 def merge_parts(out_dir: str) -> "ray.data.Dataset":
     """Final global dedup over the partitioned output (small pass:
-    per-part aggregates are mergeable)."""
-    ds = ray.data.read_parquet(out_dir)
+    per-part aggregates are mergeable). Size-aware read (r3 verdict
+    #4): the hive layout is many small per-(block, part) files, and a
+    stock read turned them into dozens of near-empty blocks — the
+    64-bucket dedup exchange then paid a task launch per near-empty
+    sort partition (3.8 s of the partitioned path's 1.5× gap at bench
+    scale; 1.1 s sized)."""
+    from ..sources.io import sized_read_parquet
+
+    ds = sized_read_parquet(out_dir)
     return salted_dedup(ds, ["subj", "pred", "obj"])

@@ -60,114 +60,147 @@ def _min_nonnull(a, b):
     return min(a, b)
 
 
-def partial_dedup_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
-    """Per-batch combiner: one row per key with merged payload."""
-    present = [c for c in _PAYLOAD if c in batch.column_names]
-    agg: dict[tuple, dict] = {}
-    key_cols = [batch[k].to_pylist() for k in keys]
-    val_cols = {c: batch[c].to_pylist() for c in present}
-    has_n = "n_mentions" in val_cols
-    for i in range(batch.num_rows):
-        k = tuple(col[i] for col in key_cols)
-        cur = agg.get(k)
-        if cur is None:
-            cur = agg[k] = {c: val_cols[c][i] for c in present}
-            if not has_n:
-                cur["n_mentions"] = 1
-            sids = cur.get("sentence_ids")
-            if sids is not None:
-                cur["sentence_ids"] = set(sids)
-            continue
-        if "score" in cur:
-            cur["score"] = max(cur["score"], val_cols["score"][i])
-        cur["n_mentions"] += val_cols["n_mentions"][i] if has_n else 1
-        for c in ("subj_id", "obj_id"):
-            if c in cur:
-                cur[c] = _min_nonnull(cur[c], val_cols[c][i])
-        if "url" in cur:
-            cur["url"] = _min_nonnull(cur["url"], val_cols["url"][i])
-        if "sentence_ids" in cur:
-            cur["sentence_ids"].update(val_cols["sentence_ids"][i] or ())
+def _merge_frame(df: "pd.DataFrame", keys: list[str]) -> "pd.DataFrame":
+    """Collapse a pandas frame to ONE row per key with merged payload —
+    the shared VECTORIZED kernel behind both the per-batch combiner and
+    the bucket merge (r3 verdict #4: the per-key Python loop / per-group
+    pandas lambdas were ~20 s single-threaded at the 20k-page bench;
+    this kernel is ~0.5 s on the same input). All aggregations run as
+    cython groupbys over an integer group id:
 
+    - group id: per-key ``pd.factorize`` (hash-based), combined
+      pairwise with re-factorize after each combine so the mixed code
+      stays < n_rows (no int64 overflow for any key count);
+    - ``score`` max / ``n_mentions`` sum: numeric cython groupby;
+    - ``subj_id``/``obj_id``/``url`` min-non-null: ``factorize(sort=
+      True)`` maps strings to lexicographically-ordered codes, nulls
+      to a +inf sentinel — the code MIN is then the lexicographic min
+      over non-null, all-null groups keep the sentinel → None;
+    - ``sentence_ids`` sorted-distinct union (capped): explode to
+      (gid, sid) pairs via np.repeat, lexsort, adjacent-dedup, split
+      at group boundaries — per-element work is all numpy.
+
+    Output: one row per key, columns ``keys + payload + n_mentions``,
+    ``sentence_ids`` cells as plain Python lists (Ray re-encodes numpy
+    cells as ragged tensors), row order = first occurrence per key."""
+    import numpy as np
+    import pandas as pd
+
+    present = [c for c in _PAYLOAD if c in df.columns]
     out_names = [c for c in present if c != "n_mentions"]
-    cols: dict[str, list] = {k: [] for k in keys}
-    for c in out_names:
-        cols[c] = []
-    cols["n_mentions"] = []
-    for k, v in agg.items():
-        for name, kv in zip(keys, k):
-            cols[name].append(kv)
-        for c in out_names:
-            if c == "sentence_ids":
-                cols[c].append(sorted(v[c])[:SENTENCE_IDS_CAP])
-            else:
-                cols[c].append(v[c])
-        cols["n_mentions"].append(v["n_mentions"])
+    cols_order = keys + out_names + ["n_mentions"]
+    if len(df) == 0:
+        out = df.head(0).copy()
+        if "n_mentions" not in out.columns:
+            out["n_mentions"] = pd.Series([], dtype="int64")
+        return out[cols_order]
+
+    gid = pd.factorize(df[keys[0]].to_numpy())[0].astype(np.int64)
+    for k in keys[1:]:
+        codes = pd.factorize(df[k].to_numpy())[0].astype(np.int64)
+        gid = pd.factorize(gid * (codes.max() + 1) + codes)[0].astype(
+            np.int64
+        )
+    ngroups = int(gid.max()) + 1
+    first_idx = np.zeros(ngroups, dtype=np.int64)
+    # reversed: earlier rows overwrite later → first occurrence wins
+    first_idx[gid[::-1]] = np.arange(len(gid) - 1, -1, -1)
+
+    out: dict[str, "np.ndarray | list"] = {
+        k: df[k].to_numpy()[first_idx] for k in keys
+    }
+    if "score" in present:
+        out["score"] = (
+            df["score"].groupby(gid).max().to_numpy()
+        )
+    for c in ("subj_id", "obj_id", "url"):
+        if c in present:
+            codes, uniq = pd.factorize(df[c].to_numpy(), sort=True)
+            codes = codes.astype(np.int64)
+            codes[codes < 0] = len(uniq)  # null → +inf sentinel
+            mn = (
+                pd.Series(codes).groupby(gid).min().to_numpy()
+            )
+            vals = np.empty(ngroups, dtype=object)
+            hit = mn < len(uniq)
+            vals[hit] = np.asarray(uniq, dtype=object)[mn[hit]]
+            vals[~hit] = None
+            out[c] = vals
+    if "sentence_ids" in present:
+        cells = df["sentence_ids"].to_numpy()
+        lens = np.fromiter(
+            (0 if c is None else len(c) for c in cells),
+            dtype=np.int64,
+            count=len(cells),
+        )
+        nonempty = [
+            np.asarray(c, dtype=np.int64)
+            for c in cells
+            if c is not None and len(c)
+        ]
+        flat = (
+            np.concatenate(nonempty)
+            if nonempty
+            else np.zeros(0, dtype=np.int64)
+        )
+        grep = np.repeat(gid, lens)
+        o = np.lexsort((flat, grep))
+        g2, s2 = grep[o], flat[o]
+        if len(g2):
+            keep = np.ones(len(g2), dtype=bool)
+            keep[1:] = (g2[1:] != g2[:-1]) | (s2[1:] != s2[:-1])
+            g2, s2 = g2[keep], s2[keep]
+        lists: list[list[int]] = [[] for _ in range(ngroups)]
+        if len(g2):
+            bounds = np.flatnonzero(g2[1:] != g2[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            for gi, chunk in zip(
+                g2[starts], np.split(s2, bounds)
+            ):
+                lists[gi] = chunk[:SENTENCE_IDS_CAP].tolist()
+        out["sentence_ids"] = lists
+    if "n_mentions" in present:
+        out["n_mentions"] = (
+            df["n_mentions"].groupby(gid).sum().to_numpy()
+        )
+    else:
+        out["n_mentions"] = np.bincount(gid, minlength=ngroups).astype(
+            np.int64
+        )
+    res = pd.DataFrame(out)
+    # first-occurrence row order (matches the old dict-insertion order)
+    order = np.argsort(first_idx, kind="stable")
+    return res.iloc[order].reset_index(drop=True)[cols_order]
+
+
+def partial_dedup_batch(batch: pa.Table, keys: list[str]) -> pa.Table:
+    """Per-batch combiner: one row per key with merged payload
+    (vectorized via :func:`_merge_frame`)."""
+    present = [c for c in _PAYLOAD if c in batch.column_names]
+    out = _merge_frame(batch.select(keys + present).to_pandas(), keys)
+    out_names = [c for c in present if c != "n_mentions"]
     key_types = {k: batch.schema.field(k).type for k in keys}
-    arrays = {k: pa.array(cols[k], type=key_types[k]) for k in keys}
+    arrays = {k: pa.array(out[k], type=key_types[k]) for k in keys}
     for c in out_names:
-        arrays[c] = pa.array(cols[c], type=_PAYLOAD_TYPES[c])
-    arrays["n_mentions"] = pa.array(cols["n_mentions"], type=pa.int64())
+        arrays[c] = pa.array(out[c], type=_PAYLOAD_TYPES[c])
+    arrays["n_mentions"] = pa.array(out["n_mentions"], type=pa.int64())
     return pa.table(arrays)
 
 
 def _merge_bucket(g, keys: list[str]):
-    """Vectorized within-bucket merge (pandas group aggregation): the
+    """Within-bucket merge: the shared vectorized kernel
+    (:func:`_merge_frame`) plus a deterministic key sort. History: the
     per-KEY map_groups variant paid Arrow-table-construction overhead
-    once per key — 29 s of UDF time for 74.5k keys at the 20k-page
-    bench (ds.stats() audit) vs ~1 s for this bucketed form.
-
-    Fast path: a key that occurs in exactly ONE partial row (the vast
-    majority — a key only repeats when it was seen in more than one
-    upstream batch) needs no merging at all; one vectorized
-    ``duplicated`` mask passes those rows through and the per-key
-    Python aggregation (min-non-null lambdas, sentence-id set union)
-    runs only on the multi-row remainder. The 200k-page ds.stats()
-    audit measured 412 s total UDF in this stage without the split —
-    ~3.5M Python lambda calls for keys that needed none."""
-    import pandas as pd
-
-    present = [c for c in _PAYLOAD if c in g.columns]
-    cols = keys + [c for c in ("score",) if c in present] + [
-        c for c in ("subj_id", "obj_id", "url", "sentence_ids")
-        if c in present
-    ] + ["n_mentions"]
-
-    dup_mask = g.duplicated(keys, keep=False)
-    singles = g[~dup_mask]
-    multi = g[dup_mask]
-    if "sentence_ids" in present and len(singles):
-        # Arrow→pandas turns list cells into numpy arrays; left as-is,
-        # Ray re-encodes the output block as a ragged TENSOR column
-        # (and rejects empty ones) instead of list<int64> — normalize
-        # to plain lists like the agg path produces
-        singles = singles.assign(
-            sentence_ids=[list(x) for x in singles["sentence_ids"]]
-        )
-    if len(multi) == 0:
-        return singles.sort_values(keys, kind="mergesort")[cols]
-
-    grouped = multi.groupby(keys, sort=False)
-    parts = {}
-    if "score" in present:
-        parts["score"] = grouped["score"].max()
-    parts["n_mentions"] = grouped["n_mentions"].sum()
-    for c in ("subj_id", "obj_id", "url"):
-        if c in present:
-            # min over non-null (pandas min skips NaN/None on object
-            # series via dropna)
-            parts[c] = grouped[c].agg(
-                lambda s: None if s.dropna().empty else s.dropna().min()
-            )
-    if "sentence_ids" in present:
-        parts["sentence_ids"] = grouped["sentence_ids"].agg(
-            lambda s: sorted(set().union(*(list(x) for x in s)))[
-                :SENTENCE_IDS_CAP
-            ]
-        )
-    merged = pd.DataFrame(parts).reset_index()
-    out = pd.concat([singles[cols], merged[cols]], ignore_index=True)
-    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    once per key (29 s UDF for 74.5k keys at the 20k-page bench); its
+    bucketed replacement still ran per-group pandas LAMBDAS on
+    multi-row keys (~20 s single-threaded on the partitioned runner's
+    read-back, where every key repeats across parts — r3 verdict #4);
+    the kernel is all cython groupbys (~0.5 s same input)."""
+    return (
+        _merge_frame(g, keys)
+        .sort_values(keys, kind="mergesort")
+        .reset_index(drop=True)
+    )
 
 
 def salted_dedup(
@@ -181,8 +214,6 @@ def salted_dedup(
     bucket) and merges each bucket with one vectorized pandas
     aggregation; the merge is associative+commutative, so
     combiner-then-merge equals a single global pass."""
-    import zlib
-
     from .joins import NO_FUSE_NUM_CPUS
 
     partial = ds.map_batches(
@@ -190,11 +221,19 @@ def salted_dedup(
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        key_cols = [batch[k].to_pylist() for k in keys]
-        hb = [
-            zlib.crc32("|".join(map(str, kv)).encode("utf-8")) % num_buckets
-            for kv in zip(*key_cols)
-        ]
+        # vectorized, batch-independent key hash (pandas siphash with
+        # its fixed default key — stable across batches AND worker
+        # processes, which bucket routing requires; the old per-row
+        # crc32-of-joined-strings Python loop was measured at ~0.3 s
+        # per 100k rows)
+        import pandas as pd
+
+        hb = (
+            pd.util.hash_pandas_object(
+                batch.select(keys).to_pandas(), index=False
+            ).to_numpy()
+            % num_buckets
+        ).astype("int32")
         return batch.append_column("__dbucket", pa.array(hb, pa.int32()))
 
     def merge(g):
