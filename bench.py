@@ -247,6 +247,30 @@ def run_bench() -> dict:
             # .columns() METHOD — a hasattr check mis-skips execution)
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # SemDeDup at realistic k (r3 verdict #8): the sf tables top out at
+    # 2k vectors, so the paper regime — k≥256, Zipf-skewed cluster
+    # sizes, a hot groupby(cluster) key — is benched on the
+    # deterministic synthetic fixture (cached like the pages fixture).
+    if bench_queries:
+        from finance_sc_relations_ray.pipelines.mlops import (
+            semantic_dedup_ds,
+        )
+        from finance_sc_relations_ray.sources.embeddings import (
+            embeddings_parquet_for,
+        )
+
+        emb_dir = embeddings_parquet_for(100_000, d=64, n_centers=1000)
+        t0 = time.perf_counter()
+        n_kept = semantic_dedup_ds(
+            emb_dir, k=256, iters=3, eps=0.95
+        ).count()
+        timings["semantic_dedup_k256_100k"] = round(
+            time.perf_counter() - t0, 3
+        )
+        out_extra = {"semantic_dedup_k256_kept": int(n_kept)}
+    else:
+        out_extra = {}
+
     out = {
         "metric": "kg_construction_e2e",
         "value": round(kg_sec, 3),
@@ -270,6 +294,7 @@ def run_bench() -> dict:
         "kg_steal_frac": kg_steal_frac,
         "kg_cores_used": kg_cores_used,
         "kg_cores_host": kg_cores_host,
+        **out_extra,
     }
     ray.shutdown()
     return out

@@ -706,6 +706,19 @@ def _emb_ints(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return vids, np.rint(m * _EMB_SCALE).astype(np.int64)
 
 
+def _q_matrix(col, d: int) -> np.ndarray:
+    """The quantized fixed-size-list ``q`` column as an (n, d) int64
+    matrix — one flatten + reshape over the Arrow buffer instead of a
+    per-row Python np.asarray loop (the k-means per-iteration hot
+    path). ``flatten()`` (not ``.values``) so sliced arrays respect
+    their offset."""
+    a = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return (
+        a.flatten().to_numpy(zero_copy_only=False)
+        .astype(np.int64).reshape(-1, d)
+    )
+
+
 def _unit_rows(q: np.ndarray) -> np.ndarray:
     """Row-normalize a float64 matrix; zero rows stay zero."""
     n = np.linalg.norm(q, axis=1, keepdims=True)
@@ -869,9 +882,7 @@ def kmeans_fit(
 
         def partials(batch: pa.Table, _ref=ref) -> pa.Table:
             c = ray.get(_ref)
-            ints = np.stack(
-                [np.asarray(x) for x in batch["q"].to_pylist()]
-            ).astype(np.int64)
+            ints = _q_matrix(batch["q"], d)
             a = (_unit_rows(ints.astype(np.float64) / _EMB_SCALE) @ c.T
                  ).argmax(axis=1)
             counts = np.bincount(a, minlength=len(c))
@@ -911,9 +922,7 @@ def kmeans_embeddings_ds(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        ints = np.stack(
-            [np.asarray(x) for x in batch["q"].to_pylist()]
-        ).astype(np.int64)
+        ints = _q_matrix(batch["q"], cent.shape[1])
         a = (_unit_rows(ints.astype(np.float64) / _EMB_SCALE) @ c.T
              ).argmax(axis=1)
         return pa.table(
@@ -935,18 +944,46 @@ def kmeans_embeddings(
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
-def _greedy_prune(unit_rows: np.ndarray, eps: float) -> list[int]:
+def _greedy_prune(
+    unit_rows: np.ndarray, eps: float, block: int = 4096
+) -> list[int]:
     """SemDeDup's within-cluster greedy keep-one rule over a matrix of
     UNIT rows sorted by id: keep row i iff its max cosine to an
     already-KEPT earlier row is < eps. Shared by
     :func:`semantic_dedup_ds` (k-means assignments) and
     :func:`semantic_prune_documents_ds` (hash assignments, SQL-oracled)
-    so the oracle checks the exact production prune code."""
-    sims = unit_rows @ unit_rows.T
-    kept: list[int] = []
-    for i in range(len(unit_rows)):
-        if not kept or sims[i, kept].max() < eps:
-            kept.append(i)
+    so the oracle checks the exact production prune code.
+
+    Memory (r3 verdict #8, the realistic-k regime): clusters ≤ block
+    rows use one m×m matmul; larger clusters run BLOCKED — per block,
+    one (block × kept) matmul against the already-kept rows plus one
+    block² local matmul, with the sequential keep decisions folded
+    inside the block. Peak memory is O(block·(kept+block)) instead of
+    O(m²) — a 13k-row hot cluster costs ~0.4 GiB instead of 1.4 GiB,
+    and the cap raise (max_cluster) remains the guard above that.
+    Decisions are identical to the full-matrix form (same dot
+    products, same order)."""
+    n = len(unit_rows)
+    if n <= block:
+        sims = unit_rows @ unit_rows.T
+        kept: list[int] = []
+        for i in range(n):
+            if not kept or sims[i, kept].max() < eps:
+                kept.append(i)
+        return kept
+    kept = []
+    for s in range(0, n, block):
+        blk = unit_rows[s : s + block]
+        sk = blk @ unit_rows[kept].T if kept else None  # (b, n_kept)
+        sb = blk @ blk.T  # within-block sims
+        local: list[int] = []
+        for j in range(len(blk)):
+            mx = sk[j].max() if sk is not None else -1.0
+            if local:
+                mx = max(mx, sb[j, local].max())
+            if mx < eps:
+                kept.append(s + j)
+                local.append(j)
     return kept
 
 
@@ -1034,9 +1071,7 @@ def semantic_dedup_ds(
 
     def assign_q(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        ints = np.stack(
-            [np.asarray(x) for x in batch["q"].to_pylist()]
-        ).astype(np.int64)
+        ints = _q_matrix(batch["q"], cent.shape[1])
         a = (_unit_rows(ints.astype(np.float64) / _EMB_SCALE) @ c.T
              ).argmax(axis=1)
         return batch.append_column(

@@ -241,3 +241,65 @@ def test_kmeans_unknown_refit_source_raises(ray_session):
 
     with pytest.raises(ValueError, match="refit_source"):
         kmeans_fit(SF, refit_source="bogus")
+
+
+def test_greedy_prune_blocked_equals_full():
+    """The blocked memory-safe form of _greedy_prune (r3 verdict #8)
+    must make decisions identical to the full-matrix form."""
+    from finance_sc_relations_ray.pipelines.mlops import _greedy_prune
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(500, 16)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    # inject near-dups so pruning fires
+    m[100::50] = m[0] + 1e-4 * rng.randn(len(m[100::50]), 16)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for eps in (0.5, 0.9, 0.999):
+        full = _greedy_prune(m, eps, block=10**9)
+        blocked = _greedy_prune(m, eps, block=64)
+        assert full == blocked, eps
+
+
+def test_semantic_dedup_realistic_k_skewed(ray_session, tmp_path):
+    """r3 verdict #8: the paper regime — k≥256 with Zipf-skewed
+    cluster sizes — must exercise the groupby(cluster) exchange with a
+    genuinely hot key, prune inside every planted near-dup cluster,
+    and still raise loudly when a cluster exceeds max_cluster."""
+    import pytest as _pytest
+
+    from finance_sc_relations_ray.pipelines.mlops import (
+        kmeans_embeddings,
+        semantic_dedup_ds,
+    )
+    from finance_sc_relations_ray.sources.embeddings import (
+        embeddings_parquet_for,
+    )
+
+    sfdir = embeddings_parquet_for(
+        3000, d=64, n_centers=300, out_dir=str(tmp_path / "emb")
+    )
+    assign = kmeans_embeddings(sfdir, k=256, iters=3)
+    sizes = assign.groupby("cluster").size()
+    # skew is real: the hot planted center dominates the median cluster
+    assert sizes.max() >= 10 * max(1, int(sizes.median())), sizes.describe()
+
+    kept = (
+        semantic_dedup(sfdir, k=256, iters=3, eps=0.95)
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # noise=0.02 ⇒ within-center cosines ≈0.99: heavy pruning must
+    # occur overall, and the hot cluster must collapse hardest
+    assert len(kept) < 1500, len(kept)
+    kept_per_cluster = kept.groupby("cluster").size()
+    hot = int(sizes.idxmax())
+    assert kept_per_cluster.get(hot, 0) <= max(10, sizes[hot] // 20)
+    # every cluster retains at least one representative
+    assert set(kept_per_cluster.index) == set(sizes.index)
+
+    # the raise path at realistic k: cap below the hot cluster
+    with _pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup_ds(
+            sfdir, k=256, iters=3, eps=0.95,
+            max_cluster=int(sizes.max()) - 1,
+        ).to_pandas()
