@@ -153,6 +153,19 @@ def run_partitioned(
         deduped = salted_dedup(
             triples, ["__part", "subj", "pred", "obj"]
         ).materialize()
+        # collapse the ~num_buckets near-empty post-dedup blocks ONCE,
+        # up front, when the chunk is gate-scale: every downstream
+        # consumer (lineage counts, dead-letter filter, the ok write)
+        # otherwise pays a task launch per near-empty block (measured
+        # at the 20k-page bench: counts 1.08 s → 0.28 s, filter+write
+        # 0.76 s → 0.27 s, the collapse itself 0.34 s — r3 verdict #4).
+        # At scale the blocks hold real data and the collapse is
+        # skipped, keeping the stock streaming shape.
+        size_mb = deduped.size_bytes() / (1 << 20)
+        if size_mb < 256:
+            deduped = deduped.repartition(
+                max(len(chunk), int(size_mb // 16) + 1)
+            ).materialize()
 
         # per-part lineage counts in ONE distributed pass: each batch
         # emits a tiny partial-count table; the driver sums
@@ -224,18 +237,10 @@ def run_partitioned(
             shutil.rmtree(os.path.join(out_dir, f"part={p}"), ignore_errors=True)
         # hive-partitioned distributed write: part=<k>/ dirs, exactly
         # the per-part layout readers and compact_parts expect. The
-        # write emits one file per (block × part); the dedup stage
-        # leaves ~num_buckets blocks, so a GATE-SCALE chunk would write
-        # hundreds of near-empty files (512 × ~8 KiB at the 20k-page
-        # bench) that the merge_parts read-back then pays per-footer
-        # for (r3 verdict #4). Collapse blocks first when the chunk is
-        # small; at scale the same blocks hold GBs and the repartition
-        # is skipped, keeping the stock streaming write.
-        size_mb = deduped.size_bytes() / (1 << 20)
-        if size_mb < 256:
-            ok = ok.repartition(
-                max(len(chunk), int(size_mb // 16) + 1)
-            )
+        # write emits one file per (block × part); the up-front
+        # gate-scale collapse above already bounded the block count,
+        # so a small chunk writes ~len(chunk)² files instead of
+        # hundreds of near-empty ones (r3 verdict #4).
         ok.write_parquet(out_dir, partition_cols=["part"])
 
         chunk_sec = time.perf_counter() - t0
