@@ -44,6 +44,7 @@ def entry() -> Any:
 
 # --------------------------------------------------------------------- #
 def queries() -> dict[str, Callable[[str], Any]]:
+    from finance_sc_relations_ray.pipelines import graph as G
     from finance_sc_relations_ray.pipelines import mlops as M
     from finance_sc_relations_ray.pipelines import relational as R
     from finance_sc_relations_ray.pipelines import similarity as S
@@ -168,7 +169,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": R.top_revenue_orders,
         "segment_order_stats": R.segment_order_stats,
         "nation_supplier_revenue": R.nation_supplier_revenue,
-        "customers_without_orders": R.customers_without_orders,
         "above_average_customers": R.above_average_customers,
         "returned_items_revenue": R.returned_items_revenue,
         "events_hourly": R.events_hourly,
@@ -178,7 +178,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": R.events_asof_join,
         "events_range_join": R.events_range_join,
         "events_user_cumsum": R.events_user_cumsum,
-        "segment_order_stats_bucket_join": R.segment_order_stats_bucket_join,
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
         "redact_pii_documents": T.redact_pii_documents,
@@ -219,7 +218,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_length_quantiles": M.token_length_quantiles,
         "stratified_split_documents": M.stratified_split_documents,
         "hash_split_documents": M.hash_split_documents,
-        "sample_documents_consistent": M.sample_documents_consistent,
         "sample_documents_weighted": M.sample_documents_weighted,
         "embedding_dup_pairs": M.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": functools.partial(
@@ -232,8 +230,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_prune_documents": M.semantic_prune_documents,
         # similarity search over embeddings
         "knn_cosine": S.knn_cosine,
+        # graph/term analytics (r4): TF-IDF, PMI pair mining, PageRank
+        "tfidf_top_terms": G.tfidf_top_terms,
+        "token_pmi_pairs": G.token_pmi_pairs,
+        "pagerank_lineitem": G.pagerank_lineitem,
         # ---------------- driver-cap boundary (entry #50) ----------------
-        # exiled stable SQL twins (still DuckDB-checked in pytest)
+        # exiled stable SQL twins (still DuckDB-checked in pytest).
+        # r4 rotation: customers_without_orders (0-row anti-join —
+        # weakest in-window signal; J5 stays pytest-oracled),
+        # segment_order_stats_bucket_join (result-twin of the in-window
+        # segment_order_stats via another join path) and
+        # sample_documents_consistent (mechanism-twin of the in-window
+        # weighted variant) make room for the three new graph ops.
+        "customers_without_orders": R.customers_without_orders,
+        "segment_order_stats_bucket_join": R.segment_order_stats_bucket_join,
+        "sample_documents_consistent": M.sample_documents_consistent,
         "distinct_segments": R.distinct_segments,
         "distinct_user_count": R.distinct_user_count,
         "events_asof_join_epoch": R.events_asof_join_epoch,
@@ -1203,5 +1214,90 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
             FROM r WHERE rank <= 5
+        """,
+        # ---- graph/term analytics (pipelines/graph.py). Float policy
+        # (module docstring there): every compared float is one fixed
+        # IEEE *,/ tree over exactly-representable ints — no ln, no
+        # order-dependent float sums — so values are bit-identical.
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM toks GROUP BY 1, 2
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                FROM toks GROUP BY 1
+            ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+                FROM tf JOIN df USING (term), n
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term
+                ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "token_pmi_pairs": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\\S+'))
+                               AS term
+                    FROM documents
+                )
+            ), uni AS (
+                SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1
+            ), pairs AS (
+                SELECT a.term AS term_a, b.term AS term_b,
+                       count(*)::BIGINT AS n_ab
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2
+            ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+            SELECT term_a, term_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+                   (CAST(n_ab AS DOUBLE) * n.n_docs)
+                       / (CAST(ua.n AS DOUBLE) * ub.n) AS lift
+            FROM pairs
+            JOIN uni ua ON ua.term = pairs.term_a
+            JOIN uni ub ON ub.term = pairs.term_b, n
+            WHERE n_ab >= 2
+        """,
+        # integer-exact PageRank: the recursive term replays the same
+        # int64 recurrence as the engine (floor-div on positives), so
+        # ranks match bit-for-bit after 8 iterations
+        "pagerank_lineitem": """
+            WITH RECURSIVE ecnt AS (
+                SELECT l_suppkey * 2 + 1 AS s, l_partkey * 2 AS d,
+                       count(*)::BIGINT AS w
+                FROM lineitem GROUP BY 1, 2
+            ), edges AS (
+                SELECT s, d, w FROM ecnt
+                UNION ALL SELECT d, s, w FROM ecnt
+            ), outw AS (
+                SELECT s, sum(w)::BIGINT AS ow FROM edges GROUP BY 1
+            ), nn AS (SELECT count(*)::BIGINT AS n_nodes FROM outw),
+            pr(it, node, r) AS (
+                SELECT 0, s, 1000000000000 // (SELECT n_nodes FROM nn)
+                FROM outw
+                UNION ALL
+                SELECT pr.it + 1, e.d,
+                       (150000000000 // (SELECT n_nodes FROM nn))
+                       + (85 * sum((pr.r * e.w) // ow.ow)) // 100
+                FROM pr
+                JOIN edges e ON e.s = pr.node
+                JOIN outw ow ON ow.s = pr.node
+                WHERE pr.it < 8
+                GROUP BY pr.it + 1, e.d
+            )
+            SELECT node % 2 AS is_supplier, node // 2 AS key,
+                   r AS rank_micro
+            FROM pr WHERE it = 8
         """,
     }

@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     "token_counts",
     "events_asof_join",
     "events_range_join",
+    # r4: graph/term analytics — tfidf + pmi share the tf-explode /
+    # df-aggregate shape (two corpus exchanges each); pagerank times
+    # 8 iterations of (src-bucketed lookup join + dst groupby) over
+    # the supplier-part edge list
+    "tfidf_top_terms",
+    "token_pmi_pairs",
+    "pagerank_lineitem",
 ]
 
 

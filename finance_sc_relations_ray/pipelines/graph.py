@@ -1,0 +1,536 @@
+"""Graph/term analytics over the corpus and the relational tables:
+TF-IDF top terms per document, within-document co-occurrence pair
+mining (PMI lift), and integer-exact distributed PageRank.
+
+These extend the KG-construction surface the same way the dedup
+operators extend the reference's cleaning surface: the reference
+builds (subj, pred, obj) relation triples (see
+`/root/reference/src/relation_extraction/` — graded by SURVEY.md §2
+as M7/R1/A1); once a corpus-scale graph exists, ranking its nodes and
+mining term association edges are the standard next pipeline stages
+(TF-IDF: Sparck Jones 1972; PMI association mining: Church & Hanks
+1990; PageRank: Page et al. 1999 — all public-knowledge algorithms,
+implemented Ray-Data-first here).
+
+Cross-engine exactness policy (shared with unigram_logprob /
+mlops.kmeans): every value the DuckDB oracle compares is either an
+integer produced by order-independent integer arithmetic, or a float
+produced by a FIXED tree of IEEE +,-,*,/ ops on exactly-representable
+integers — never a transcendental (ln/exp differ by ULPs across
+libms) and never an order-dependent float sum. PMI is therefore
+reported as the *lift* ratio N·c_ab/(c_a·c_b) (PMI = ln(lift),
+monotone — filtering and ranking on lift are identical); TF-IDF drops
+the constant-N log and scores tf·N/df (one exact int multiply, one
+correctly-rounded divide; the ln(N/df) variant ranks identically
+whenever df-ordering does and is trivially derived downstream).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum as _Sum
+
+from ..functions import textops
+from ..sources.io import sized_read_parquet
+from ..stages.joins import bucket_lookup_join
+
+
+def _read_docs(
+    sf_dir: str, columns: list[str], fanout: bool = False
+) -> "ray.data.Dataset":
+    return sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=columns,
+        fanout=fanout,
+    )
+
+
+def _read_lineitem(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return sized_read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=columns
+    )
+
+
+# ------------------------------------------------------------------
+# shared explode: one row per (doc_id, term) with the in-doc term
+# frequency. (doc_id, term) rows are unique GLOBALLY (one row per
+# pair, emitted by exactly one task), so per-term row counts equal
+# document frequency under ANY downstream re-batching — the df
+# combiner relies on that, never on batch boundaries.
+# ------------------------------------------------------------------
+_TF_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64())]
+)
+
+
+def _explode_tf(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    flat, counts = textops.tokens_lower_batch(texts)
+    if len(flat) == 0:
+        return _TF_SCHEMA.empty_table()
+    rep = np.repeat(doc_ids, counts)
+    g = (
+        pd.DataFrame({"doc_id": rep, "term": flat})
+        .groupby(["doc_id", "term"], as_index=False, sort=False)
+        .size()
+        .rename(columns={"size": "tf"})
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(g["term"].tolist(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _tf_ds(sf_dir: str) -> "ray.data.Dataset":
+    return _read_docs(sf_dir, ["doc_id", "text"], fanout=True).map_batches(
+        _explode_tf, batch_format="pyarrow"
+    )
+
+
+def _df_table(sf_dir: str) -> "ray.data.Dataset":
+    """Document frequency per term: combiner-first (each batch emits
+    one (term, partial_df) row per distinct term — valid because
+    (doc, term) rows are unique within a batch), then ONE small
+    groupby(term). The vocabulary table stays distributed (web-scale
+    vocab = billions of noise tokens; nothing is broadcast)."""
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame({"term": batch["term"].to_pylist()})
+            .groupby("term", as_index=False, sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "term": pa.array(g["term"].tolist(), pa.string()),
+                "df": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        _tf_ds(sf_dir)
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(_Sum("df", alias_name="df"))
+    )
+
+
+# ------------------------------------------------------- TF-IDF ---------
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Top-``k`` characteristic terms per document by TF-IDF.
+
+    ``score = CAST(tf * n_docs AS DOUBLE) / df`` — the log-free IDF
+    variant (see module docstring: one exact integer multiply
+    ``tf * n_docs`` ≤ 2^53, one correctly-rounded IEEE divide, so the
+    engine and the DuckDB oracle produce bit-identical doubles on any
+    platform; ranking by ``tf·ln(N/df)`` can flip on 1-ULP libm
+    differences when two (tf, df) pairs are log-collinear, e.g.
+    ``2·ln(N/x)`` vs ``ln(N/x²)``). Ties (equal score) break on term
+    ascending — total and engine-independent because term is unique
+    per document.
+
+    Distributed plan (the unigram_logprob shape, text.py:761): tf
+    explode is map-only and REDERIVED for each consumer (nothing
+    corpus-sized is pinned); df via per-batch combiner + groupby(term);
+    df attaches to tf rows through a term-bucketed
+    ``bucket_lookup_join`` (vocab stays distributed — no broadcast);
+    the per-doc top-k is ONE doc-bucketed groupby with a vectorized
+    sort + head(k) per bucket. Exactly two corpus-sized exchanges.
+    Only the scalar n_docs touches the driver.
+    """
+    n_docs = int(_read_docs(sf_dir, ["doc_id"]).count())
+
+    joined = bucket_lookup_join(
+        _tf_ds(sf_dir),
+        _df_table(sf_dir),
+        on="term",
+        right_key="term",
+        payload={"df": "df"},
+        left_schema=_TF_SCHEMA,
+        payload_types={"df": pa.int64()},
+        num_buckets=64,
+    )
+
+    num_doc_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["doc_id"].to_numpy(zero_copy_only=False) % num_doc_buckets)
+        return batch.append_column("__db", pa.array(b, pa.int32()))
+
+    def topk(g: pa.Table) -> pa.Table:
+        df = g.select(["doc_id", "term", "tf", "df"]).to_pandas()
+        # exact: int64 tf * n_docs ≤ 2^53 cast to double, one divide
+        df["score"] = (df["tf"].to_numpy() * n_docs).astype(np.float64) / df[
+            "df"
+        ].to_numpy().astype(np.float64)
+        df = df.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "term": pa.array(df["term"].tolist(), pa.string()),
+                "tf": pa.array(df["tf"].to_numpy(), pa.int64()),
+                "df": pa.array(df["df"].to_numpy(), pa.int64()),
+                "score": pa.array(df["score"].to_numpy(), pa.float64()),
+                "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+# ----------------------------------------------- co-occurrence PMI ------
+def token_pmi_pairs(
+    sf_dir: str, min_count: int = 2, max_doc_terms: int = 4096
+) -> "ray.data.Dataset":
+    """Within-document term co-occurrence pairs with association lift.
+
+    For every unordered pair (a < b) of terms co-occurring in
+    ``min_count``+ documents: ``n_ab`` = documents containing both,
+    ``n_a``/``n_b`` = documents containing each, and
+    ``lift = (CAST(n_ab AS DOUBLE) * n_docs) / (CAST(n_a AS DOUBLE)
+    * n_b)`` — PMI = ln(lift), monotone, left to the consumer (module
+    docstring: transcendentals are excluded from oracle-compared
+    values; the fixed *,/ op tree is bit-identical cross-engine while
+    each operand stays ≤ 2^53, i.e. corpora under ~9·10^15 docs).
+
+    Distributed plan: per-doc distinct terms ride the shared tf
+    explode; per-doc pairs are generated batch-locally with
+    ``np.triu_indices`` (each doc's pair fan-out is quadratic in its
+    DISTINCT term count, so docs above ``max_doc_terms`` distinct
+    terms raise loudly rather than silently exploding — same contract
+    as the bounded-cluster raise in SemDeDup); per-batch partial pair
+    counts (combiner) → ONE groupby((a, b)) sum → the ``min_count``
+    filter drops the long noise tail BEFORE the two term-bucketed
+    lookup joins that attach n_a / n_b. Nothing is broadcast; only
+    the scalar n_docs reaches the driver.
+    """
+    n_docs = int(_read_docs(sf_dir, ["doc_id"]).count())
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        # pairs are generated from DOCUMENT rows (one row = one whole
+        # doc), never from exploded (doc, term) rows: Ray re-batches
+        # streams between operators (default batch_size=1024), and a
+        # doc whose term rows straddled a batch boundary would
+        # silently undercount its pairs. A document row is atomic
+        # under any re-batching.
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for doc_id, text in zip(doc_ids, texts):
+            t = np.unique(
+                np.array(textops.tokens_lower(text), dtype=object)
+            )
+            n = len(t)
+            if n > max_doc_terms:
+                raise ValueError(
+                    f"token_pmi_pairs: document {int(doc_id)} has "
+                    f"{n} distinct terms > max_doc_terms={max_doc_terms} "
+                    "(quadratic pair fan-out); raise the cap explicitly"
+                )
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            out_a.append(t[ia])
+            out_b.append(t[ib])
+        if not out_a:
+            return pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pd.DataFrame(
+                {
+                    "term_a": np.concatenate(out_a),
+                    "term_b": np.concatenate(out_b),
+                }
+            )
+            .groupby(["term_a", "term_b"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "term_a": pa.array(g["term_a"].tolist(), pa.string()),
+                "term_b": pa.array(g["term_b"].tolist(), pa.string()),
+                "n_ab": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pair_counts = (
+        _read_docs(sf_dir, ["doc_id", "text"], fanout=True)
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .aggregate(_Sum("n_ab", alias_name="n_ab"))
+    )
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["n_ab"], min_count))
+
+    frequent = pair_counts.map_batches(keep_frequent, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [
+            ("term_a", pa.string()),
+            ("term_b", pa.string()),
+            ("n_ab", pa.int64()),
+        ]
+    )
+    with_na = bucket_lookup_join(
+        frequent,
+        _df_table(sf_dir),
+        on="term_a",
+        right_key="term",
+        payload={"df": "n_a"},
+        left_schema=pair_schema,
+        payload_types={"n_a": pa.int64()},
+        num_buckets=64,
+    )
+    with_nb = bucket_lookup_join(
+        with_na,
+        _df_table(sf_dir),
+        on="term_b",
+        right_key="term",
+        payload={"df": "n_b"},
+        left_schema=pair_schema.append(pa.field("n_a", pa.int64())),
+        payload_types={"n_b": pa.int64()},
+        num_buckets=64,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+        n_a = batch["n_a"].to_numpy(zero_copy_only=False)
+        n_b = batch["n_b"].to_numpy(zero_copy_only=False)
+        # fixed IEEE op tree, mirrored verbatim by the oracle SQL:
+        # (double(n_ab) * n_docs) / (double(n_a) * n_b)
+        lift = (n_ab.astype(np.float64) * float(n_docs)) / (
+            n_a.astype(np.float64) * n_b.astype(np.float64)
+        )
+        return pa.table(
+            {
+                "term_a": batch["term_a"],
+                "term_b": batch["term_b"],
+                "n_ab": batch["n_ab"],
+                "n_a": batch["n_a"],
+                "n_b": batch["n_b"],
+                "lift": pa.array(lift, pa.float64()),
+            }
+        )
+
+    return with_nb.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------- PageRank ----------
+_PR_TOTAL = 1_000_000_000_000  # rank mass in micro-units (1e-12)
+_PR_DAMP_NUM = 85  # d = 0.85 as the integer pair (85, 100)
+_PR_DAMP_DEN = 100
+
+
+def pagerank_lineitem(sf_dir: str, iters: int = 8) -> "ray.data.Dataset":
+    """Integer-exact PageRank over the supplier↔part bipartite graph.
+
+    Graph: one undirected edge per (l_suppkey, l_partkey) pair that
+    appears in ``lineitem``, weighted by its lineitem count — the
+    relational stand-in for the entity graph the KG pipeline emits
+    (same PageRank core applies to any (src, dst, weight) edge list).
+    Nodes are encoded ``part → key*2``, ``supplier → key*2 + 1``.
+
+    All arithmetic is int64 in micro-rank units (the k-means
+    integer-centroid trick, mlops.py): per-edge contribution
+    ``(r[s] * w) // ow[s]``, damped update
+    ``base + (85 * Σcontrib) // 100`` with
+    ``base = 150_000_000_000 // n_nodes`` — order-independent under
+    any partitioning, so the result is bit-identical run-to-run and
+    equal to the DuckDB recursive-CTE oracle replaying the same
+    recurrence. All quantities are positive, so numpy floor-div and
+    DuckDB ``//`` agree. Symmetric edges mean no dangling nodes (every
+    node has in- and out-edges) and overflow is impossible while
+    ``max edge weight ≤ 9e6`` (r·w ≤ 1e12·9e6 < 2^63) — checked.
+
+    Distributed plan: edge weights via per-batch combiner + ONE
+    groupby; out-weights attach to edges once through a src-bucketed
+    lookup join, and the edge list — the corpus-scale side — is
+    materialized ONCE in the object store. Each iteration then moves
+    only rank rows (one row per node): a src-bucketed lookup join
+    (ranks onto edges) + a dst groupby with per-batch partial sums.
+    Ranks re-materialize per iteration (node-sized, tiny next to the
+    edges), which also caps lineage depth. Only the scalar n_nodes
+    touches the driver.
+    """
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        supp = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        part = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"s": supp * 2 + 1, "d": part * 2})
+            .groupby(["s", "d"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "s": pa.array(g["s"].to_numpy(), pa.int64()),
+                "d": pa.array(g["d"].to_numpy(), pa.int64()),
+                "w": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    directed = (
+        _read_lineitem(sf_dir, ["l_suppkey", "l_partkey"])
+        .map_batches(edge_partials, batch_format="pyarrow")
+        .groupby(["s", "d"])
+        .aggregate(_Sum("w", alias_name="w"))
+    )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        if len(w) and int(w.max()) > 9_000_000:
+            raise ValueError(
+                "pagerank_lineitem: edge weight > 9e6 would overflow "
+                "the int64 micro-rank product; rescale weights first"
+            )
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([s, d]), pa.int64()),
+                "d": pa.array(np.concatenate([d, s]), pa.int64()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    edges = directed.map_batches(symmetrize, batch_format="pyarrow")
+
+    def ow_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "s": batch["s"].to_numpy(zero_copy_only=False),
+                    "ow": batch["w"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("s", as_index=False, sort=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    outw = (
+        edges.map_batches(ow_partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(_Sum("ow", alias_name="ow"))
+        .materialize()
+    )
+    n_nodes = int(outw.count())
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "is_supplier": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "rank_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+    init_r = _PR_TOTAL // n_nodes
+    base = (15 * _PR_TOTAL // 100) // n_nodes
+
+    edge_schema = pa.schema(
+        [("s", pa.int64()), ("d", pa.int64()), ("w", pa.int64())]
+    )
+    edges_ow = bucket_lookup_join(
+        edges,
+        outw,
+        on="s",
+        right_key="s",
+        payload={"ow": "ow"},
+        left_schema=edge_schema,
+        payload_types={"ow": pa.int64()},
+        num_buckets=64,
+    ).materialize()
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["s"],
+                "r": pa.array(np.full(n, init_r, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    ranks = outw.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    ew_schema = edge_schema.append(pa.field("ow", pa.int64()))
+
+    def contrib_partials(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        ow = batch["ow"].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        c = (r * w) // ow
+        g = (
+            pd.DataFrame({"d": d, "c": c})
+            .groupby("d", as_index=False, sort=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def damp(batch: pa.Table) -> pa.Table:
+        s = batch["c"].to_numpy(zero_copy_only=False)
+        r = base + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
+        return pa.table(
+            {"node": batch["d"], "r": pa.array(r, pa.int64())}
+        )
+
+    for _ in range(iters):
+        joined = bucket_lookup_join(
+            edges_ow,
+            ranks,
+            on="s",
+            right_key="node",
+            payload={"r": "r"},
+            left_schema=ew_schema,
+            payload_types={"r": pa.int64()},
+            num_buckets=64,
+        )
+        ranks = (
+            joined.map_batches(contrib_partials, batch_format="pyarrow")
+            .groupby("d")
+            .aggregate(_Sum("c", alias_name="c"))
+            .map_batches(damp, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "is_supplier": pa.array(node % 2, pa.int64()),
+                "key": pa.array(node // 2, pa.int64()),
+                "rank_micro": batch["r"],
+            }
+        )
+
+    return ranks.map_batches(decode, batch_format="pyarrow")
