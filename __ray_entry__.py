@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_relation_items": kg_relation_items,  # KV item shape (non-SQL)
         "kg_triples_shuffle_plan": kg_triples_shuffle_plan,
         "kg_training_data": kg_training_data,  # non-SQL (seeded split/shuffle)
+        # entity salience over the extracted KG (non-SQL: triples come
+        # from the actor-pool pipeline; pytest-oracled replay)
+        "kg_entity_pagerank": G.kg_entity_pagerank,
         # multimodal binary-column plumbing (non-SQL)
         "pages_binary_meta": pages_binary_meta,
         "pages_byte_features": pages_byte_features,  # real codec-free features

@@ -34,11 +34,11 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum as _Sum
 
 from ..functions import textops
 from ..sources.io import sized_read_parquet
 from ..stages.joins import bucket_lookup_join
+from ..stages.shuffle import bucketed_sum_ds
 
 
 def _read_docs(
@@ -117,11 +117,13 @@ def _df_table(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return (
-        _tf_ds(sf_dir)
-        .map_batches(partial_df, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(_Sum("df", alias_name="df"))
+    # bucketed, not groupby(term).aggregate: the vocabulary is
+    # web-scale high-cardinality and Ray's aggregate pays per-group
+    # overhead (stages/shuffle.bucketed_sum_ds rationale)
+    return bucketed_sum_ds(
+        _tf_ds(sf_dir).map_batches(partial_df, batch_format="pyarrow"),
+        keys=["term"],
+        value_cols=["df"],
     )
 
 
@@ -279,11 +281,12 @@ def token_pmi_pairs(
             }
         )
 
-    pair_counts = (
-        _read_docs(sf_dir, ["doc_id", "text"], fanout=True)
-        .map_batches(pair_partials, batch_format="pyarrow")
-        .groupby(["term_a", "term_b"])
-        .aggregate(_Sum("n_ab", alias_name="n_ab"))
+    pair_counts = bucketed_sum_ds(
+        _read_docs(sf_dir, ["doc_id", "text"], fanout=True).map_batches(
+            pair_partials, batch_format="pyarrow"
+        ),
+        keys=["term_a", "term_b"],
+        value_cols=["n_ab"],
     )
 
     def keep_frequent(batch: pa.Table) -> pa.Table:
@@ -300,9 +303,14 @@ def token_pmi_pairs(
             ("n_ab", pa.int64()),
         ]
     )
+    # df table materialized ONCE and reused by both joins (it is
+    # vocab-sized — the bounded side — while re-deriving it would cost
+    # a full tokenize+explode pass per join; contrast the tf explode,
+    # which is corpus-sized and therefore rederived, never pinned)
+    df_tbl = _df_table(sf_dir).materialize()
     with_na = bucket_lookup_join(
         frequent,
-        _df_table(sf_dir),
+        df_tbl,
         on="term_a",
         right_key="term",
         payload={"df": "n_a"},
@@ -312,7 +320,7 @@ def token_pmi_pairs(
     )
     with_nb = bucket_lookup_join(
         with_na,
-        _df_table(sf_dir),
+        df_tbl,
         on="term_b",
         right_key="term",
         payload={"df": "n_b"},
@@ -350,36 +358,245 @@ _PR_DAMP_NUM = 85  # d = 0.85 as the integer pair (85, 100)
 _PR_DAMP_DEN = 100
 
 
+def pagerank_edges_ds(
+    edges: "ray.data.Dataset",
+    iters: int = 8,
+    node_type: pa.DataType = pa.int64(),
+    num_buckets: int = 64,
+    rank_broadcast_max_bytes: int = 128 << 20,
+) -> "ray.data.Dataset":
+    """Integer-exact distributed PageRank core over a SYMMETRIC
+    weighted edge list ``(s, d, w)`` (both directions present; callers
+    symmetrize). Returns ``(node, r)`` with ``r`` in 1e-12 micro-rank
+    units. Node columns may be any groupable/bucketable type (int64
+    keys, string entity names).
+
+    All arithmetic is int64 micro-rank (the k-means integer-centroid
+    trick, mlops.py): per-edge contribution ``(r[s] * w) // ow[s]``,
+    damped update ``base + (85 * Σcontrib) // 100`` with
+    ``base = 150_000_000_000 // n_nodes`` — order-independent under
+    any partitioning, so results are bit-identical run-to-run (and
+    equal to an oracle replaying the recurrence) in EITHER execution
+    mode below. All quantities are positive, so numpy floor-div and
+    DuckDB ``//`` agree. Symmetric edges mean no dangling nodes;
+    overflow is impossible while ``max edge weight ≤ 9e6``
+    (r·w ≤ 1e12·9e6 < 2^63) — callers check at edge-build time.
+
+    Two execution modes, chosen by the rank table's measured size
+    (the repo's broadcast-vs-exchange rule, cf. the company-DB
+    broadcast and the minhash candidate funnel):
+
+    - **broadcast** (rank table ≤ ``rank_broadcast_max_bytes``): the
+      per-iteration state is one int64 per node — usually orders of
+      magnitude smaller than the edge list. Nodes get a dense integer
+      index once, edges re-encode to int64 index columns once, and
+      each iteration is ONE map-only streaming pass over the
+      never-re-shuffled edges: workers read the broadcast rank vector
+      and emit sparse integer partial sums that the driver folds (the
+      k-means broadcast-assign idiom, mlops.kmeans_fit). Zero
+      exchanges per iteration. Earlier cuts measured at sf0.1
+      (1.1M edges, 8 iterations): per-iteration src-bucketed join
+      re-sorting the edge list = 74.8 s; per-iteration groupby(d) of
+      blocks × nodes partials = 53 s; this mode ≈ 2-3 s total.
+    - **exchange** (web-scale node counts, e.g. 1e9 nodes ≈ 16 GB of
+      ranks — too big for every worker's heap): per-iteration
+      src-bucketed lookup join of ranks onto edges + dst groupby.
+      Honest caveat: the join's sort exchange moves the edge list
+      each iteration (the classic distributed-PageRank cost without
+      a co-partitioned static edge store); partition-pinned edge
+      blocks would remove it and are the named upgrade path.
+
+    Out-weights attach to edges once; the combined (s, d, w, ow) edge
+    list is materialized ONCE in the object store and re-read
+    (zero-copy) by every iteration. Only scalar n_nodes and — in
+    broadcast mode — the node-sized rank table touch the driver.
+    """
+
+    def to_ow(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": batch["s"], "ow": batch["w"]})
+
+    outw = bucketed_sum_ds(
+        edges.map_batches(to_ow, batch_format="pyarrow"),
+        keys=["s"],
+        value_cols=["ow"],
+        num_buckets=num_buckets,
+    ).materialize()
+    n_nodes = int(outw.count())
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], node_type), "r": pa.array([], pa.int64())}
+            )
+        )
+    init_r = _PR_TOTAL // n_nodes
+    base = (15 * _PR_TOTAL // 100) // n_nodes
+
+    edge_schema = pa.schema(
+        [("s", node_type), ("d", node_type), ("w", pa.int64())]
+    )
+    edges_ow = bucket_lookup_join(
+        edges,
+        outw,
+        on="s",
+        right_key="s",
+        payload={"ow": "ow"},
+        left_schema=edge_schema,
+        payload_types={"ow": pa.int64()},
+        num_buckets=num_buckets,
+    ).materialize()
+
+    ew_schema = edge_schema.append(pa.field("ow", pa.int64()))
+
+    def contrib_partials(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        ow = batch["ow"].to_numpy(zero_copy_only=False)
+        c = (r * w) // ow
+        g = (
+            pd.DataFrame({"d": batch["d"].to_pandas(), "c": c})
+            .groupby("d", as_index=False, sort=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "d": pa.array(g["d"].tolist(), node_type),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def damp(batch: pa.Table) -> pa.Table:
+        s = batch["c"].to_numpy(zero_copy_only=False)
+        r = base + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
+        return pa.table({"node": batch["d"], "r": pa.array(r, pa.int64())})
+
+    if int(outw.size_bytes() or 0) <= rank_broadcast_max_bytes:
+        # broadcast mode — the k-means broadcast-assign idiom
+        # (mlops.kmeans_fit): nodes get a dense integer index ONCE;
+        # edges are re-encoded to (s_idx, d_idx, w, ow) int64 columns
+        # and materialized ONCE (for entity graphs this also drops the
+        # string keys from the hot loop). Each iteration is then ONE
+        # map-only streaming pass: workers read the broadcast rank
+        # vector, compute integer contributions, and emit SPARSE
+        # (node_idx, partial_sum) rows — ≤ min(block_edges, n_nodes)
+        # per block — which the driver folds into the next rank
+        # vector. Zero exchanges per iteration. (The first cut ran a
+        # groupby(d) exchange per iteration: blocks × nodes partial
+        # rows re-sorted 8 times measured 53 s at sf0.1; this pass
+        # measures ~0.2-0.3 s/iteration on the same input.)
+        ranks_pd = outw.to_pandas()
+        node_index = pd.Series(
+            np.arange(n_nodes, dtype=np.int64), index=ranks_pd["s"]
+        )
+        idx_ref = ray.put(node_index)
+
+        def to_idx(batch: pa.Table) -> pa.Table:
+            ix = ray.get(idx_ref)
+            s_idx = ix.reindex(batch["s"].to_pandas()).to_numpy()
+            d_idx = ix.reindex(batch["d"].to_pandas()).to_numpy()
+            return pa.table(
+                {
+                    "s_idx": pa.array(s_idx.astype(np.int64), pa.int64()),
+                    "d_idx": pa.array(d_idx.astype(np.int64), pa.int64()),
+                    "w": batch["w"],
+                    "ow": batch["ow"],
+                }
+            )
+
+        edges_idx = edges_ow.map_batches(
+            to_idx, batch_format="pyarrow"
+        ).materialize()
+
+        r_vec = np.full(n_nodes, init_r, dtype=np.int64)
+        for _ in range(iters):
+            r_ref = ray.put(r_vec)
+
+            def sparse_partials(
+                batch: pa.Table, _r=r_ref, _n=n_nodes
+            ) -> pa.Table:
+                r = ray.get(_r)
+                s_idx = batch["s_idx"].to_numpy(zero_copy_only=False)
+                d_idx = batch["d_idx"].to_numpy(zero_copy_only=False)
+                w = batch["w"].to_numpy(zero_copy_only=False)
+                ow = batch["ow"].to_numpy(zero_copy_only=False)
+                c = (r[s_idx] * w) // ow
+                acc = np.zeros(_n, dtype=np.int64)
+                np.add.at(acc, d_idx, c)
+                nz = np.nonzero(acc)[0]
+                return pa.table(
+                    {
+                        "i": pa.array(nz, pa.int64()),
+                        "c": pa.array(acc[nz], pa.int64()),
+                    }
+                )
+
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            for b in edges_idx.map_batches(
+                sparse_partials, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                # indices are unique within a partial block; across
+                # blocks they repeat — integer adds, order-independent
+                np.add.at(
+                    acc,
+                    b["i"].to_numpy(zero_copy_only=False),
+                    b["c"].to_numpy(zero_copy_only=False),
+                )
+            r_vec = base + (_PR_DAMP_NUM * acc) // _PR_DAMP_DEN
+        out = pa.table(
+            {
+                "node": pa.array(node_index.index.tolist(), node_type),
+                "r": pa.array(r_vec, pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(out)
+
+    # exchange mode: rank table too big to broadcast — per-iteration
+    # src-bucketed lookup join (see docstring caveat)
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["s"],
+                "r": pa.array(np.full(n, init_r, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    ranks = outw.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        joined = bucket_lookup_join(
+            edges_ow,
+            ranks,
+            on="s",
+            right_key="node",
+            payload={"r": "r"},
+            left_schema=ew_schema,
+            payload_types={"r": pa.int64()},
+            num_buckets=num_buckets,
+        )
+        ranks = (
+            bucketed_sum_ds(
+                joined.map_batches(contrib_partials, batch_format="pyarrow"),
+                keys=["d"],
+                value_cols=["c"],
+                num_buckets=num_buckets,
+            )
+            .map_batches(damp, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks
+
+
 def pagerank_lineitem(sf_dir: str, iters: int = 8) -> "ray.data.Dataset":
     """Integer-exact PageRank over the supplier↔part bipartite graph.
 
     Graph: one undirected edge per (l_suppkey, l_partkey) pair that
     appears in ``lineitem``, weighted by its lineitem count — the
     relational stand-in for the entity graph the KG pipeline emits
-    (same PageRank core applies to any (src, dst, weight) edge list).
-    Nodes are encoded ``part → key*2``, ``supplier → key*2 + 1``.
-
-    All arithmetic is int64 in micro-rank units (the k-means
-    integer-centroid trick, mlops.py): per-edge contribution
-    ``(r[s] * w) // ow[s]``, damped update
-    ``base + (85 * Σcontrib) // 100`` with
-    ``base = 150_000_000_000 // n_nodes`` — order-independent under
-    any partitioning, so the result is bit-identical run-to-run and
-    equal to the DuckDB recursive-CTE oracle replaying the same
-    recurrence. All quantities are positive, so numpy floor-div and
-    DuckDB ``//`` agree. Symmetric edges mean no dangling nodes (every
-    node has in- and out-edges) and overflow is impossible while
-    ``max edge weight ≤ 9e6`` (r·w ≤ 1e12·9e6 < 2^63) — checked.
-
-    Distributed plan: edge weights via per-batch combiner + ONE
-    groupby; out-weights attach to edges once through a src-bucketed
-    lookup join, and the edge list — the corpus-scale side — is
-    materialized ONCE in the object store. Each iteration then moves
-    only rank rows (one row per node): a src-bucketed lookup join
-    (ranks onto edges) + a dst groupby with per-batch partial sums.
-    Ranks re-materialize per iteration (node-sized, tiny next to the
-    edges), which also caps lineage depth. Only the scalar n_nodes
-    touches the driver.
+    (:func:`kg_entity_pagerank` runs the same
+    :func:`pagerank_edges_ds` core on real triples). Nodes encode
+    ``part → key*2``, ``supplier → key*2 + 1``. The DuckDB oracle is
+    a recursive CTE replaying the identical int64 recurrence, so
+    ranks match bit-for-bit after ``iters`` iterations (see the core
+    docstring for the exactness argument).
     """
 
     def edge_partials(batch: pa.Table) -> pa.Table:
@@ -398,11 +615,16 @@ def pagerank_lineitem(sf_dir: str, iters: int = 8) -> "ray.data.Dataset":
             }
         )
 
-    directed = (
-        _read_lineitem(sf_dir, ["l_suppkey", "l_partkey"])
-        .map_batches(edge_partials, batch_format="pyarrow")
-        .groupby(["s", "d"])
-        .aggregate(_Sum("w", alias_name="w"))
+    # bucketed sum, NOT groupby([s, d]).aggregate: edge keys are
+    # high-cardinality (~one group per distinct supplier-part pair) and
+    # Ray's aggregate paid 14.3 s of per-group overhead at sf0.1 where
+    # the bucketed merge takes ~2 s (stages/shuffle.bucketed_sum_ds)
+    directed = bucketed_sum_ds(
+        _read_lineitem(sf_dir, ["l_suppkey", "l_partkey"]).map_batches(
+            edge_partials, batch_format="pyarrow"
+        ),
+        keys=["s", "d"],
+        value_cols=["w"],
     )
 
     def symmetrize(batch: pa.Table) -> pa.Table:
@@ -423,105 +645,7 @@ def pagerank_lineitem(sf_dir: str, iters: int = 8) -> "ray.data.Dataset":
         )
 
     edges = directed.map_batches(symmetrize, batch_format="pyarrow")
-
-    def ow_partial(batch: pa.Table) -> pa.Table:
-        g = (
-            pd.DataFrame(
-                {
-                    "s": batch["s"].to_numpy(zero_copy_only=False),
-                    "ow": batch["w"].to_numpy(zero_copy_only=False),
-                }
-            )
-            .groupby("s", as_index=False, sort=False)
-            .sum()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    outw = (
-        edges.map_batches(ow_partial, batch_format="pyarrow")
-        .groupby("s")
-        .aggregate(_Sum("ow", alias_name="ow"))
-        .materialize()
-    )
-    n_nodes = int(outw.count())
-    if n_nodes == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "is_supplier": pa.array([], pa.int64()),
-                    "key": pa.array([], pa.int64()),
-                    "rank_micro": pa.array([], pa.int64()),
-                }
-            )
-        )
-    init_r = _PR_TOTAL // n_nodes
-    base = (15 * _PR_TOTAL // 100) // n_nodes
-
-    edge_schema = pa.schema(
-        [("s", pa.int64()), ("d", pa.int64()), ("w", pa.int64())]
-    )
-    edges_ow = bucket_lookup_join(
-        edges,
-        outw,
-        on="s",
-        right_key="s",
-        payload={"ow": "ow"},
-        left_schema=edge_schema,
-        payload_types={"ow": pa.int64()},
-        num_buckets=64,
-    ).materialize()
-
-    def init_ranks(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "node": batch["s"],
-                "r": pa.array(np.full(n, init_r, dtype=np.int64), pa.int64()),
-            }
-        )
-
-    ranks = outw.map_batches(init_ranks, batch_format="pyarrow").materialize()
-
-    ew_schema = edge_schema.append(pa.field("ow", pa.int64()))
-
-    def contrib_partials(batch: pa.Table) -> pa.Table:
-        r = batch["r"].to_numpy(zero_copy_only=False)
-        w = batch["w"].to_numpy(zero_copy_only=False)
-        ow = batch["ow"].to_numpy(zero_copy_only=False)
-        d = batch["d"].to_numpy(zero_copy_only=False)
-        c = (r * w) // ow
-        g = (
-            pd.DataFrame({"d": d, "c": c})
-            .groupby("d", as_index=False, sort=False)
-            .sum()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def damp(batch: pa.Table) -> pa.Table:
-        s = batch["c"].to_numpy(zero_copy_only=False)
-        r = base + (_PR_DAMP_NUM * s) // _PR_DAMP_DEN
-        return pa.table(
-            {"node": batch["d"], "r": pa.array(r, pa.int64())}
-        )
-
-    for _ in range(iters):
-        joined = bucket_lookup_join(
-            edges_ow,
-            ranks,
-            on="s",
-            right_key="node",
-            payload={"r": "r"},
-            left_schema=ew_schema,
-            payload_types={"r": pa.int64()},
-            num_buckets=64,
-        )
-        ranks = (
-            joined.map_batches(contrib_partials, batch_format="pyarrow")
-            .groupby("d")
-            .aggregate(_Sum("c", alias_name="c"))
-            .map_batches(damp, batch_format="pyarrow")
-            .materialize()
-        )
+    ranks = pagerank_edges_ds(edges, iters=iters, node_type=pa.int64())
 
     def decode(batch: pa.Table) -> pa.Table:
         node = batch["node"].to_numpy(zero_copy_only=False)
@@ -534,3 +658,77 @@ def pagerank_lineitem(sf_dir: str, iters: int = 8) -> "ray.data.Dataset":
         )
 
     return ranks.map_batches(decode, batch_format="pyarrow")
+
+
+def kg_entity_pagerank(sf_dir: str, iters: int = 8) -> "ray.data.Dataset":
+    """PageRank over the entity graph the flagship KG pipeline emits:
+    nodes are canonical entity names, one undirected edge per
+    (subj, obj) pair weighted by its triple count (relation direction
+    dropped — co-mention salience, the standard entity-importance
+    signal over an extracted KG). Runs the same integer-exact
+    :func:`pagerank_edges_ds` core as the SQL-oracled
+    :func:`pagerank_lineitem`; this variant is non-SQL (the triples
+    come from the actor-pool extraction pipeline, not a table) and is
+    pytest-oracled against a pure-pandas replay of the recurrence on
+    the oracle triples (tests/test_graph_ops.py). Returns
+    ``(entity, rank_micro)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..sources.pages import pages_parquet_for
+    from .kg import build_kg_pipeline
+
+    triples = build_kg_pipeline(pages_parquet_for(sf_dir), num_partitions=8)
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        # meta rows (pred beginning "_") are pipeline bookkeeping, not
+        # relations
+        keep = pc.invert(pc.starts_with(batch["pred"], "_"))
+        batch = batch.filter(keep)
+        g = (
+            pd.DataFrame(
+                {
+                    "subj": batch["subj"].to_pylist(),
+                    "obj": batch["obj"].to_pylist(),
+                }
+            )
+            .groupby(["subj", "obj"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "subj": pa.array(g["subj"].tolist(), pa.string()),
+                "obj": pa.array(g["obj"].tolist(), pa.string()),
+                "w": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    directed = bucketed_sum_ds(
+        triples.map_batches(edge_partials, batch_format="pyarrow"),
+        keys=["subj", "obj"],
+        value_cols=["w"],
+    )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        if len(w) and int(w.max()) > 9_000_000:
+            raise ValueError(
+                "kg_entity_pagerank: edge weight > 9e6 would overflow "
+                "the int64 micro-rank product; rescale weights first"
+            )
+        subj = batch["subj"].to_pylist()
+        obj = batch["obj"].to_pylist()
+        return pa.table(
+            {
+                "s": pa.array(subj + obj, pa.string()),
+                "d": pa.array(obj + subj, pa.string()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    edges = directed.map_batches(symmetrize, batch_format="pyarrow")
+    ranks = pagerank_edges_ds(edges, iters=iters, node_type=pa.string())
+    return ranks.map_batches(
+        lambda b: pa.table({"entity": b["node"], "rank_micro": b["r"]}),
+        batch_format="pyarrow",
+    )

@@ -295,6 +295,46 @@ def distinct_pairs_ds(
     )
 
 
+def bucketed_sum_ds(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_cols: list[str],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed per-key SUM for HIGH-CARDINALITY keys: per-batch
+    vectorized partial sums → coarse-bucket exchange → one vectorized
+    pandas sum per bucket. ``groupby(keys).aggregate(Sum)`` pays Ray's
+    per-group overhead once per distinct key (measured: 14.3 s for a
+    591k-group two-key sum at sf0.1 vs 2-3 s bucketed — the same
+    pathology salted_dedup/distinct_pairs_ds already avoid for
+    dedup); this helper is the sum-shaped sibling. At most one row per
+    (key, batch) crosses the exchange."""
+    import pandas as pd
+
+    from .joins import NO_FUSE_NUM_CPUS
+
+    def local(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(keys, as_index=False, sort=False)[value_cols].sum()
+        g["__dbucket"] = (
+            pd.util.hash_pandas_object(g[keys], index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return g
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            g.drop(columns="__dbucket")
+            .groupby(keys, as_index=False, sort=False)[value_cols]
+            .sum()
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
 def distinct_pair_ids_ds(
     pairs: "ray.data.Dataset",
     col_a: str = "doc_id_a",

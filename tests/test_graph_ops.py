@@ -142,6 +142,92 @@ def test_pagerank_deterministic_across_runs():
     assert (a.rank_micro.to_numpy() == b.rank_micro.to_numpy()).all()
 
 
+def test_pagerank_modes_bit_identical(tmp_path):
+    """broadcast vs exchange execution must produce the SAME int64
+    ranks (the recurrence is order-independent integer math in both)."""
+    li = pa.table(
+        {
+            "l_suppkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_partkey": pa.array([10, 11, 10, 12, 11], pa.int64()),
+        }
+    )
+    sf = _mk_sf(tmp_path, lineitem=li)
+
+    def run(max_bytes):
+        import functools
+
+        import finance_sc_relations_ray.pipelines.graph as g
+
+        orig = g.pagerank_edges_ds
+        g_patched = functools.partial(orig, rank_broadcast_max_bytes=max_bytes)
+        try:
+            g.pagerank_edges_ds = g_patched
+            return (
+                g.pagerank_lineitem(sf, iters=5)
+                .to_pandas()
+                .sort_values(["is_supplier", "key"])
+                .reset_index(drop=True)
+            )
+        finally:
+            g.pagerank_edges_ds = orig
+
+    a = run(128 << 20)  # broadcast
+    b = run(0)  # exchange
+    assert (a.rank_micro.to_numpy() == b.rank_micro.to_numpy()).all()
+    assert a.key.tolist() == b.key.tolist()
+
+
+def _pagerank_replay(edges, iters):
+    """Pure-python replay of the integer recurrence (the pytest oracle
+    for the non-SQL KG variant). ``edges`` = [(s, d, w)] symmetric."""
+    from collections import defaultdict
+
+    ow: dict = defaultdict(int)
+    for s, _d, w in edges:
+        ow[s] += w
+    n = len(ow)
+    r = {node: 1_000_000_000_000 // n for node in ow}
+    base = (15 * 1_000_000_000_000 // 100) // n
+    for _ in range(iters):
+        contrib: dict = defaultdict(int)
+        for s, d, w in edges:
+            contrib[d] += (r[s] * w) // ow[s]
+        r = {d: base + (85 * c) // 100 for d, c in contrib.items()}
+    return r
+
+
+def test_kg_entity_pagerank_matches_replay():
+    """The distributed run over real pipeline triples must equal a
+    driver-side replay of the same integer recurrence on the oracle
+    triples — bit-identical (int64 end-to-end)."""
+    import pyarrow.parquet as pq_
+
+    from finance_sc_relations_ray.sources.pages import pages_parquet_for
+    from oracle.kg_oracle import expected_triples
+
+    pages = pq_.read_table(pages_parquet_for(SF))
+    exp = expected_triples(pages)
+    exp = exp[~exp["pred"].str.startswith("_")]
+    directed = (
+        exp.groupby(["subj", "obj"], as_index=False)
+        .size()
+        .rename(columns={"size": "w"})
+    )
+    edges = [
+        (s, d, int(w))
+        for s, d, w in directed.itertuples(index=False)
+    ] + [
+        (d, s, int(w))
+        for s, d, w in directed.itertuples(index=False)
+    ]
+    expected = _pagerank_replay(edges, iters=4)
+
+    got = G.kg_entity_pagerank(SF, iters=4).to_pandas()
+    assert len(got) == len(expected)
+    got_map = dict(zip(got.entity, got.rank_micro))
+    assert got_map == expected
+
+
 def test_pagerank_overflow_guard(tmp_path):
     heavy = pa.table(
         {
