@@ -251,6 +251,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_epoch": R.events_range_join_epoch,
         # HLL sketch (approximate, non-SQL)
         "approx_distinct_users": R.approx_distinct_users,
+        # fixed-bin histogram quantile sketch (approximate for the true
+        # quantile, but deterministic — the SQL oracle replays the
+        # sketch bit-exactly; past the cap: sketch-family sibling of
+        # the in-window token_length_quantiles)
+        "value_quantile_sketch": M.value_quantile_sketch,
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
         # integer-quantized fit, pytest-oracled vs a local replica)
         "kmeans_embeddings": M.kmeans_embeddings,
@@ -673,6 +678,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.95 AS quantile, round(quantile_cont(n, 0.95), 6) AS n_tokens FROM c
             UNION ALL
             SELECT 0.99 AS quantile, round(quantile_cont(n, 0.99), 6) AS n_tokens FROM c
+        """,
+        "value_quantile_sketch": """
+            -- exact replay of the histogram sketch: power-of-two bin
+            -- scale keeps floor(value*4) and bin*0.25 exact in IEEE;
+            -- rank = ceil(num*n/den) via integer arithmetic on both
+            -- sides (float ceil(q*n) differs from decimal at integer
+            -- boundaries)
+            WITH h AS (
+                SELECT CAST(floor(value * 4) AS BIGINT) AS bin,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1
+            ), cum AS (
+                SELECT bin, sum(c) OVER (ORDER BY bin) AS cum,
+                       (SELECT sum(c) FROM h) AS n
+                FROM h
+            )
+            SELECT q.quantile,
+                   CAST(min(cum.bin) AS DOUBLE) * 0.25 AS value
+            FROM (VALUES (CAST(0.5  AS DOUBLE), 1, 2),
+                         (CAST(0.9  AS DOUBLE), 9, 10),
+                         (CAST(0.99 AS DOUBLE), 99, 100))
+                 AS q(quantile, num, den)
+            JOIN cum ON cum.cum >= (q.num * cum.n + q.den - 1) // q.den
+            GROUP BY q.quantile
+            ORDER BY q.quantile
         """,
         "simhash_documents": r"""
             WITH t AS (

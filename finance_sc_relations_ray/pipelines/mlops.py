@@ -94,6 +94,80 @@ def token_length_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# the sketch's quantiles as exact rationals: rank is computed with
+# integer arithmetic (ceil(num*n/den) = (num*n + den - 1) // den) on
+# BOTH sides, because float ceil(q*n) can land one above the exact
+# rank at integer boundaries when the double for q rounds up (e.g.
+# ceil(9/11 * 77) = 64 in doubles vs the exact 63); the rule makes
+# engine/oracle agreement hold by construction for ANY quantile, not
+# just ones whose doubles happen to behave
+QUANTILE_SKETCH_QS: tuple[tuple[float, int, int], ...] = (
+    (0.5, 1, 2),
+    (0.9, 9, 10),
+    (0.99, 99, 100),
+)
+
+
+def value_quantile_sketch(
+    sf_dir: str, bin_scale: float = 4.0
+) -> pd.DataFrame:
+    """Approximate quantiles of a continuous column (events.value) via
+    a mergeable fixed-bin histogram sketch — the bounded-state
+    companion to the exact small-integer histogram in
+    ``token_length_quantiles`` (reference max_len sizing statistic,
+    sc_classifier/trainer.py:212, over a continuous metric).
+
+    Shape: each batch combines to (bin → count) partials where
+    bin = floor(value * bin_scale) (one vectorized np.unique), a
+    bounded groupby merges the partials, and the driver reports the
+    LOWER EDGE of the bin holding the rank-ceil(q·n) value. Error is
+    at most one bin width (1/bin_scale); sketch size is
+    range·bin_scale rows regardless of row count — at 10^12 rows the
+    histogram is still a few thousand rows, and nothing else is ever
+    materialized.
+
+    Determinism / oracle parity: bin_scale must be a power of two so
+    floor(value·scale) and bin·width are EXACT in IEEE doubles; with
+    the integer rank rule above, the DuckDB oracle replays the sketch
+    bit-identically (it is an exact oracle for the sketch, while the
+    sketch itself is approximate for the true quantile).
+    """
+    if bin_scale <= 0 or bin_scale != 2.0 ** round(np.log2(bin_scale)):
+        raise ValueError(
+            f"bin_scale must be a power of two for exact float "
+            f"parity, got {bin_scale}"
+        )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        bins = np.floor(v * bin_scale).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u, pa.int64()),
+             "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    h = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = np.cumsum(h["c"].to_numpy())
+    n = int(cum[-1])
+    width = 1.0 / bin_scale
+    qs, vals = [], []
+    for qv, num, den in QUANTILE_SKETCH_QS:
+        k = (num * n + den - 1) // den
+        idx = int(np.searchsorted(cum, k))
+        qs.append(qv)
+        vals.append(float(h["bin"].iloc[idx]) * width)
+    return pd.DataFrame({"quantile": qs, "value": vals})
+
+
 def stratified_split_documents(sf_dir: str, valid_frac: float = 0.2) -> pd.DataFrame:
     """Deterministic doc-level stratified split by lang (O4). Seeded —
     not SQL-expressible; checked by its own pytest invariants."""
