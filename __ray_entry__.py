@@ -256,6 +256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch bit-exactly; past the cap: sketch-family sibling of
         # the in-window token_length_quantiles)
         "value_quantile_sketch": M.value_quantile_sketch,
+        # per-lang quantile-gated length filter (two-pass bounded-stats
+        # → broadcast-threshold → map-only shape; past the cap:
+        # composition of in-window histogram + filter mechanisms)
+        "length_quantile_filter": T.length_quantile_filter,
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
         # integer-quantized fit, pytest-oracled vs a local replica)
         "kmeans_embeddings": M.kmeans_embeddings,
@@ -703,6 +707,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN cum ON cum.cum >= (q.num * cum.n + q.den - 1) // q.den
             GROUP BY q.quantile
             ORDER BY q.quantile
+        """,
+        "length_quantile_filter": """
+            -- replay of the per-lang histogram threshold: integer
+            -- rank rule (ceil(num*n/den) via integer arithmetic)
+            -- shared with value_quantile_sketch; all-integer outputs
+            WITH h AS (
+                SELECT lang, n_chars AS bin, count(*)::BIGINT AS c
+                FROM documents GROUP BY 1, 2
+            ), cum AS (
+                SELECT lang, bin,
+                       sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM h
+            ), thr AS (
+                SELECT lang, min(bin) AS threshold
+                FROM cum WHERE cum >= (1 * n + 2 - 1) // 2
+                GROUP BY lang
+            )
+            SELECT d.lang, t.threshold,
+                   count(*)::BIGINT AS n_kept,
+                   sum(d.n_chars)::BIGINT AS sum_chars_kept
+            FROM documents d JOIN thr t USING (lang)
+            WHERE d.n_chars >= t.threshold
+            GROUP BY 1, 2
+            ORDER BY 1
         """,
         "simhash_documents": r"""
             WITH t AS (

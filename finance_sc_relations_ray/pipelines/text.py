@@ -304,6 +304,95 @@ def filter_quality_documents(
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def length_quantile_filter(
+    sf_dir: str, num: int = 1, den: int = 2
+) -> pd.DataFrame:
+    """Per-language quantile-gated length filter: keep documents whose
+    ``n_chars`` is at or above their language's num/den-quantile, and
+    report per-language (threshold, kept count, kept char mass).
+
+    The two-pass "bounded stats → broadcast scalar → map-only filter"
+    shape that data-dependent corpus gates take at 100 TB:
+
+    - **Pass 1** builds a per-(lang, n_chars) histogram via per-batch
+      combiners + one tiny groupby — bounded by (languages × distinct
+      lengths) regardless of row count, so the driver-side threshold
+      computation touches a few thousand rows at any scale.
+    - Thresholds (a dict of a handful of ints) ride into pass 2 by
+      closure capture — a scalar broadcast, not a shuffle join.
+    - **Pass 2** is map-only over the same two pruned columns, ending
+      in a languages-sized groupby of per-batch partials.
+
+    Quantile rank uses the integer ceil rule shared with
+    ``value_quantile_sketch`` (mlops.py: QUANTILE_SKETCH_QS note) so
+    the DuckDB oracle replays the threshold bit-exactly; all outputs
+    are integers — no float policy needed at all.
+    """
+    if not (0 < num <= den):
+        raise ValueError(f"quantile num/den must be in (0, 1]: {num}/{den}")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_numpy(zero_copy_only=False),
+                "bin": batch["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang", "bin"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    h = (
+        _read(sf_dir, ["lang", "n_chars"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    thr: dict[str, int] = {}
+    for lang, g in h.groupby("lang"):
+        g = g.sort_values("bin")
+        cum = g["c"].to_numpy().cumsum()
+        k = (num * int(cum[-1]) + den - 1) // den
+        thr[str(lang)] = int(g["bin"].to_numpy()[np.searchsorted(cum, k)])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["lang"].map(thr).to_numpy()
+        kept = batch[batch["n_chars"].to_numpy() >= t]
+        g = (
+            kept.groupby("lang", sort=False)["n_chars"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "n_kept": g["size"].astype(np.int64),
+                "sum_chars_kept": g["sum"].astype(np.int64),
+            }
+        )
+
+    out = (
+        _read(sf_dir, ["lang", "n_chars"])
+        .map_batches(keep, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("sum_chars_kept", alias_name="sum_chars_kept"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out.insert(1, "threshold", out["lang"].map(thr).astype(np.int64))
+    return out
+
+
 # ------------------------------------------------------- exact dedup ----
 def dedup_exact_ds(sf_dir: str) -> "ray.data.Dataset":
     """Exact dedup, DATASET core (r2 verdict #8): hash-partitioned
