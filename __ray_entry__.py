@@ -260,6 +260,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # → broadcast-threshold → map-only shape; past the cap:
         # composition of in-window histogram + filter mechanisms)
         "length_quantile_filter": T.length_quantile_filter,
+        # SimHash near-dup PAIR MINING (Charikar pigeonhole banding —
+        # exact recall at hamming<=k, popcount verify in-bucket; past
+        # the cap: mechanism-sibling of the in-window minhash_dup_pairs
+        # over the in-window simhash_documents signatures)
+        "simhash_dup_pairs": functools.partial(
+            T.simhash_dup_pairs, on_degenerate="raise"
+        ),
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
         # integer-quantized fit, pytest-oracled vs a local replica)
         "kmeans_embeddings": M.kmeans_embeddings,
@@ -761,6 +768,43 @@ def oracle_sql() -> dict[str, str]:
                                          ELSE 0 END)::BIGINT,
                             0) AS simhash
             FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id
+        """,
+        "simhash_dup_pairs": r"""
+            -- the engine's pigeonhole banding has exact recall at
+            -- hamming <= k and popcount-verifies every candidate, so
+            -- its output IS the all-pairs hamming filter over the
+            -- (bit-exact, see simhash_documents) signature CTE
+            WITH t AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS c,
+                       ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+                FROM t GROUP BY doc_id, tok
+            ), bits AS (
+                SELECT doc_id, i,
+                       sum(CASE WHEN (h >> i) & 1 = 1 THEN c ELSE -c END) AS acc
+                FROM tc CROSS JOIN (SELECT unnest(range(64)) AS i) b
+                GROUP BY doc_id, i
+            ), u AS (
+                SELECT doc_id,
+                       sum(CASE WHEN acc > 0
+                                THEN (1::UBIGINT << i)::HUGEINT
+                                ELSE 0 END) AS uh
+                FROM bits GROUP BY doc_id
+            ), s AS (
+                SELECT d.doc_id,
+                       coalesce((u.uh - CASE WHEN u.uh >= 9223372036854775808
+                                             THEN 18446744073709551616::HUGEINT
+                                             ELSE 0 END)::BIGINT,
+                                0) AS simhash
+                FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY 1, 2
         """,
         "cap_per_source": """
             SELECT doc_id, source, n_chars FROM (

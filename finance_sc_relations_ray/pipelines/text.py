@@ -2050,6 +2050,168 @@ def simhash_documents(sf_dir: str, bits: int = 64) -> "ray.data.Dataset":
     )
 
 
+# byte-wise popcount lookup (numpy < 2 has no np.bitwise_count); a
+# uint64 popcount is then 8 table probes + a row sum, all vectorized
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
+
+_EMPTY_HAMMING_TABLE = pa.table(
+    {
+        "doc_id_a": pa.array([], pa.int64()),
+        "doc_id_b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int64()),
+    }
+)
+
+
+def simhash_dup_pairs(
+    sf_dir: str,
+    max_hamming: int = 3,
+    max_bucket_docs: int = 1000,
+    on_degenerate: str = "star",
+) -> "ray.data.Dataset":
+    """SimHash near-dup pairs at Hamming distance ≤ ``max_hamming``,
+    mined with the Charikar pigeonhole banding trick (Manku et al.,
+    WWW'07): split the 64-bit signature into ``max_hamming + 1``
+    contiguous bit bands — any pair within distance k differs in at
+    most k bands, so it agrees EXACTLY on at least one band. Grouping
+    by (band_id, band_value) therefore has perfect recall; the cheap
+    in-bucket popcount verify removes false positives, making the
+    output exactly ``{(a, b) : popcount(sig_a XOR sig_b) <= k}`` —
+    SQL-replayable as an all-pairs ``bit_count(xor(...))`` filter over
+    the (already bit-exact) simhash oracle CTE.
+
+    Distributed shape (the minhash funnel, minus the text re-fetch —
+    signatures are 8 bytes, so the verify rides the bucket rows):
+    signature map → band flat-map (4× 12-byte rows, NOT 4× the text) →
+    coarse-bucketed groupby → vectorized triu pair enumeration +
+    popcount verify inside the bucket → distinct-pairs combiner
+    exchange. No stage ships document text past the signature map, no
+    driver materialization; bucket blowups are capped exactly like
+    ``_minhash_pairs_ds`` (``on_degenerate``: "star" logs and emits
+    star pairs — still popcount-verified — "raise" fails loudly in
+    oracle-gated contexts where the cap is not modeled in SQL)."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64): {max_hamming}")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = np.cumsum([0] + widths[:-1]).tolist()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sig = np.ascontiguousarray(
+            batch["simhash"].to_numpy(), dtype=np.int64
+        ).view(np.uint64)
+        n = len(ids)
+        band_col = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        val_col = np.concatenate(
+            [
+                ((sig >> np.uint64(off)) & np.uint64((1 << w) - 1)).view(
+                    np.int64
+                )
+                for off, w in zip(offsets, widths)
+            ]
+        )
+        return pa.table(
+            {
+                "band_id": pa.array(band_col, pa.int32()),
+                "band_val": pa.array(val_col, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+                "simhash": pa.array(
+                    np.tile(sig.view(np.int64), n_bands), pa.int64()
+                ),
+            }
+        )
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        coarse = [
+            zlib.crc32(f"{bi}:{bv}".encode()) % 64
+            for bi, bv in zip(
+                batch["band_id"].to_pylist(), batch["band_val"].to_pylist()
+            )
+        ]
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for (_, _), grp in g.groupby(["band_id", "band_val"]):
+            ids, first = np.unique(
+                grp["doc_id"].to_numpy(), return_index=True
+            )
+            if len(ids) < 2:
+                continue
+            sigs = grp["simhash"].to_numpy()[first].astype(np.int64).view(
+                np.uint64
+            )
+            if len(ids) > max_bucket_docs:
+                if on_degenerate == "raise":
+                    raise ValueError(
+                        f"degenerate SimHash band bucket with {len(ids)} "
+                        f"docs > cap {max_bucket_docs}: the star cap is "
+                        "not modeled by the SQL oracle — raise the cap "
+                        "or run with on_degenerate='star'"
+                    )
+                print(
+                    f"[simhash] degenerate band bucket: {len(ids)} docs "
+                    f"> cap {max_bucket_docs}; emitting star pairs only"
+                )
+                ham = _popcount64(sigs[0] ^ sigs[1:])
+                keep = ham <= max_hamming
+                out_a.append(np.repeat(ids[0], int(keep.sum())))
+                out_b.append(ids[1:][keep])
+                out_h.append(ham[keep])
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sigs[ia] ^ sigs[ib])
+            keep = ham <= max_hamming
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series([], dtype="int64"),
+                    "doc_id_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.concatenate(out_a),
+                "doc_id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h).astype(np.int64),
+            }
+        )
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+    from ..stages.shuffle import distinct_pairs_ds
+
+    raw_pairs = (
+        simhash_documents(sf_dir)
+        .map_batches(to_bands, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(
+            bucket_pairs, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+        )
+    )
+    # `hamming` is functionally dependent on the pair, so the full-row
+    # drop_duplicates inside distinct_pairs_ds dedups exactly per pair
+    out = distinct_pairs_ds(raw_pairs).materialize()
+    if out.count() == 0:
+        return ray.data.from_arrow(_EMPTY_HAMMING_TABLE)
+    return out
+
+
 def gopher_quality_documents(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition/format quality rules (Rae et al. 2021,
     §A1.1 — the standard webtext filter family next to the length/

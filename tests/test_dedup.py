@@ -7,6 +7,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+import ray
 
 from finance_sc_relations_ray.functions import textops
 from finance_sc_relations_ray.pipelines.similarity import knn_cosine, lsh_bucketed_knn
@@ -372,3 +373,70 @@ def test_embedding_lsh_star_cap(tmp_path):
     assert (out["vec_id_a"] == 0).all()
     assert sorted(out["vec_id_b"]) == list(range(1, 25))
     assert (out["cosine"] == 1.0).all()
+
+
+def test_simhash_dup_pairs_matches_bruteforce(planted_dir):
+    """Pigeonhole banding must equal the all-pairs hamming filter
+    exactly (perfect recall + popcount verify) on the planted corpus."""
+    from finance_sc_relations_ray.pipelines.text import (
+        _popcount64,
+        simhash_dup_pairs,
+    )
+
+    k = 8  # wide enough to capture the 2/3 near-dup pair
+    got = (
+        simhash_dup_pairs(planted_dir, max_hamming=k)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    sig = (
+        simhash_documents(planted_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    ids = sig["doc_id"].to_numpy()
+    u = sig["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(u[ia] ^ u[ib])
+    keep = ham <= k
+    exp = sorted(zip(ids[ia][keep], ids[ib][keep], ham[keep]))
+    assert list(zip(got["doc_id_a"], got["doc_id_b"], got["hamming"])) == exp
+    assert (0, 1, 0) in exp  # the exact-dup pair at hamming 0
+
+
+def test_simhash_dup_pairs_star_cap_and_raise(tmp_path):
+    """25 identical docs share every band bucket: 'star' bounds the
+    blowup to n-1 anchor pairs; 'raise' fails loudly (the oracle-gated
+    registration)."""
+    from finance_sc_relations_ray.pipelines.text import simhash_dup_pairs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(25), pa.int64()),
+            "text": pa.array(["same text body here"] * 25),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = (
+        simhash_dup_pairs(str(tmp_path), max_bucket_docs=10)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+    )
+    assert (out["doc_id_a"] == 0).all()
+    assert sorted(out["doc_id_b"]) == list(range(1, 25))
+    assert (out["hamming"] == 0).all()
+    with pytest.raises(ray.exceptions.RayTaskError):
+        simhash_dup_pairs(
+            str(tmp_path), max_bucket_docs=10, on_degenerate="raise"
+        ).to_pandas()
+
+
+def test_popcount64_kernel():
+    from finance_sc_relations_ray.pipelines.text import _popcount64
+
+    x = np.array(
+        [0, 1, 0xFFFFFFFFFFFFFFFF, 0x8000000000000000, 0x5555555555555555],
+        dtype=np.uint64,
+    )
+    assert _popcount64(x).tolist() == [0, 1, 64, 1, 32]
