@@ -186,7 +186,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": T.decontaminate_documents,
         "sentencize_documents": T.sentencize_documents,
         "token_counts": T.token_counts,
-        "subword_token_counts": T.subword_token_counts,
         "doc_quality": T.doc_quality,
         "lang_id_documents": T.lang_id_documents,
         "fingerprint_documents": T.fingerprint_documents,
@@ -208,7 +207,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
         "unigram_logprob_documents": T.unigram_logprob_documents,
-        "simhash_documents": T.simhash_documents,
+        # SimHash near-dup PAIR MINING (Charikar pigeonhole banding —
+        # exact recall at hamming<=k, popcount verify in-bucket; its
+        # oracle embeds the signature CTE verbatim, so the exiled
+        # simhash_documents is checked transitively here)
+        "simhash_dup_pairs": functools.partial(
+            T.simhash_dup_pairs, on_degenerate="raise"
+        ),
+        # per-lang quantile-gated length filter (two-pass bounded-stats
+        # → broadcast-threshold → map-only shape)
+        "length_quantile_filter": T.length_quantile_filter,
         "cap_per_source": T.cap_per_source,
         "pack_token_offsets": T.pack_token_offsets,
         "resample_by_source": T.resample_by_source,
@@ -216,8 +224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
         "token_length_quantiles": M.token_length_quantiles,
+        # fixed-bin histogram quantile sketch (approximate for the true
+        # quantile, but deterministic — the SQL oracle replays the
+        # sketch bit-exactly)
+        "value_quantile_sketch": M.value_quantile_sketch,
         "stratified_split_documents": M.stratified_split_documents,
-        "hash_split_documents": M.hash_split_documents,
         "sample_documents_weighted": M.sample_documents_weighted,
         "embedding_dup_pairs": M.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": functools.partial(
@@ -242,6 +253,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # segment_order_stats via another join path) and
         # sample_documents_consistent (mechanism-twin of the in-window
         # weighted variant) make room for the three new graph ops.
+        # Late-r4 rotation: subword_token_counts (tokenizer twin of
+        # token_counts), hash_split_documents (split twin of the
+        # stratified variant) and simhash_documents (its CTE is
+        # embedded verbatim in the in-window simhash_dup_pairs oracle)
+        # make room for the three newest ops — freshly-touched code
+        # gets the hard driver signal, long-stable twins keep pytest.
+        "subword_token_counts": T.subword_token_counts,
+        "hash_split_documents": M.hash_split_documents,
+        "simhash_documents": T.simhash_documents,
         "customers_without_orders": R.customers_without_orders,
         "segment_order_stats_bucket_join": R.segment_order_stats_bucket_join,
         "sample_documents_consistent": M.sample_documents_consistent,
@@ -251,22 +271,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_epoch": R.events_range_join_epoch,
         # HLL sketch (approximate, non-SQL)
         "approx_distinct_users": R.approx_distinct_users,
-        # fixed-bin histogram quantile sketch (approximate for the true
-        # quantile, but deterministic — the SQL oracle replays the
-        # sketch bit-exactly; past the cap: sketch-family sibling of
-        # the in-window token_length_quantiles)
-        "value_quantile_sketch": M.value_quantile_sketch,
-        # per-lang quantile-gated length filter (two-pass bounded-stats
-        # → broadcast-threshold → map-only shape; past the cap:
-        # composition of in-window histogram + filter mechanisms)
-        "length_quantile_filter": T.length_quantile_filter,
-        # SimHash near-dup PAIR MINING (Charikar pigeonhole banding —
-        # exact recall at hamming<=k, popcount verify in-bucket; past
-        # the cap: mechanism-sibling of the in-window minhash_dup_pairs
-        # over the in-window simhash_documents signatures)
-        "simhash_dup_pairs": functools.partial(
-            T.simhash_dup_pairs, on_degenerate="raise"
-        ),
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
         # integer-quantized fit, pytest-oracled vs a local replica)
         "kmeans_embeddings": M.kmeans_embeddings,
