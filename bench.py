@@ -69,6 +69,14 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "token_pmi_pairs",
     "pagerank_lineitem",
+    # r4: pigeonhole-banded simhash pair mining (4 band exchanges over
+    # id+key rows, exact-hamming verify) — distinct cost shape from the
+    # per-doc simhash_documents signature pass above
+    "simhash_dup_pairs",
+    # r4: bounded-histogram quantile sketch (one B-bin aggregate) and
+    # the two-pass per-lang quantile-gated length filter built on it
+    "value_quantile_sketch",
+    "length_quantile_filter",
 ]
 
 
