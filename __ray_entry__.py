@@ -44,6 +44,7 @@ def entry() -> Any:
 
 # --------------------------------------------------------------------- #
 def queries() -> dict[str, Callable[[str], Any]]:
+    from finance_sc_relations_ray.pipelines import bpe as B
     from finance_sc_relations_ray.pipelines import graph as G
     from finance_sc_relations_ray.pipelines import mlops as M
     from finance_sc_relations_ray.pipelines import relational as R
@@ -170,7 +171,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": R.segment_order_stats,
         "nation_supplier_revenue": R.nation_supplier_revenue,
         "above_average_customers": R.above_average_customers,
-        "returned_items_revenue": R.returned_items_revenue,
         "events_hourly": R.events_hourly,
         "events_sliding": R.events_sliding,
         "top_users_per_event_type": R.top_users_per_event_type,
@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": G.tfidf_top_terms,
         "token_pmi_pairs": G.token_pmi_pairs,
         "pagerank_lineitem": G.pagerank_lineitem,
+        # BPE tokenizer training, iteration-1 statistics (the iterative
+        # learn loop is bpe_learn_merges below, pytest-oracled)
+        "bpe_pair_counts": B.bpe_pair_counts,
         # ---------------- driver-cap boundary (entry #50) ----------------
         # exiled stable SQL twins (still DuckDB-checked in pytest).
         # r4 rotation: customers_without_orders (0-row anti-join —
@@ -259,6 +262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedded verbatim in the in-window simhash_dup_pairs oracle)
         # make room for the three newest ops — freshly-touched code
         # gets the hard driver signal, long-stable twins keep pytest.
+        # Final-r4 rotation: returned_items_revenue (filter+aggregate
+        # twin of the in-window q1_pricing_summary) makes room for
+        # bpe_pair_counts.
+        "returned_items_revenue": R.returned_items_revenue,
         "subword_token_counts": T.subword_token_counts,
         "hash_split_documents": M.hash_split_documents,
         "simhash_documents": T.simhash_documents,
@@ -271,6 +278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join_epoch": R.events_range_join_epoch,
         # HLL sketch (approximate, non-SQL)
         "approx_distinct_users": R.approx_distinct_users,
+        # BPE merge learning (non-SQL: each argmax feeds the next
+        # recount; pytest-oracled vs an independent single-process BPE)
+        "bpe_learn_merges": B.bpe_learn_merges,
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
         # integer-quantized fit, pytest-oracled vs a local replica)
         "kmeans_embeddings": M.kmeans_embeddings,
@@ -1003,6 +1013,28 @@ def oracle_sql() -> dict[str, str]:
             FROM t, tot
             GROUP BY tok, tot.n
             HAVING count(*) >= 0.005 * tot.n
+        """,
+        # BPE iteration-1 statistics: adjacent char pairs over the word
+        # histogram, overlap-counted (generate_series explodes every
+        # position), weighted by word frequency; substr/length are
+        # character-based in both engines. Deterministic top-30 via the
+        # (n DESC, pair) total order shared with the engine.
+        "bpe_pair_counts": r"""
+            WITH words AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS c
+                FROM (
+                    SELECT unnest(regexp_extract_all(lower(text), '\S+'))
+                           AS word
+                    FROM documents
+                )
+                GROUP BY word
+            )
+            SELECT substr(word, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n
+            FROM words,
+                 unnest(generate_series(1, length(word) - 1)) AS t(i)
+            GROUP BY pair
+            ORDER BY n DESC, pair
+            LIMIT 30
         """,
         # Full MinHash+LSH+verify mirror: identical md5-64 shingle
         # hashes, the engine's exact (a*h+b) uint64-WRAP-then-Mersenne
