@@ -13,8 +13,9 @@ run ends in "now train the tokenizer on it").
 
 Scale shape — the one insight that makes BPE training feasible at
 100 TB: BPE statistics are a function of the WORD HISTOGRAM, not the
-corpus. The corpus is read exactly once (per-batch token Counter →
-one groupby — identical funnel to heavy_hitter_tokens); every merge
+corpus. The corpus is read exactly once (per-batch vectorized
+factorize+bincount partials → one groupby — the heavy_hitter_tokens
+funnel with the DSIR factorize kernel); every merge
 iteration after that touches only the vocabulary-bounded
 (word, count, symbols) table, which stays a distributed Dataset
 (web-scale vocabularies run to billions of noise tokens — never
@@ -44,6 +45,7 @@ from __future__ import annotations
 import os
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -60,14 +62,17 @@ def _word_counts(sf_dir: str) -> "ray.data.Dataset":
     moves vocab-bounded partials, never token occurrences."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            c.update(textops.tokens_lower(text))
-        words = sorted(c)
+        # batch tokenize + hash-based factorize (same kernel choice as
+        # the DSIR vocab dedup: pd.factorize over the flat token
+        # array; np.unique on object arrays comparison-sorts and
+        # measured slower there)
+        flat, _ = textops.tokens_lower_batch(batch["text"].to_pylist())
+        codes, uniques = pd.factorize(flat, sort=False)
+        counts = np.bincount(codes, minlength=len(uniques))
         return pa.table(
             {
-                "word": pa.array(words, pa.string()),
-                "c": pa.array([c[w] for w in words], pa.int64()),
+                "word": pa.array(uniques, pa.string()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
