@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     # the two-pass per-lang quantile-gated length filter built on it
     "value_quantile_sketch",
     "length_quantile_filter",
+    # r4: BPE iteration-1 statistics (corpus -> word histogram ->
+    # pair explode over the vocab); the iterative learn loop is
+    # pytest-oracled and ~all fixed exchange cost at gate scale, so
+    # only the SQL-oracled stats pass is benched
+    "bpe_pair_counts",
 ]
 
 
