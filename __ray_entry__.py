@@ -279,8 +279,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL sketch (approximate, non-SQL)
         "approx_distinct_users": R.approx_distinct_users,
         # BPE merge learning (non-SQL: each argmax feeds the next
-        # recount; pytest-oracled vs an independent single-process BPE)
-        "bpe_learn_merges": B.bpe_learn_merges,
+        # recount; pytest-oracled vs an independent single-process
+        # BPE). 8 merges for the driver's rows-only check — each
+        # iteration is ~pure fixed exchange cost at gate scale
+        "bpe_learn_merges": functools.partial(
+            B.bpe_learn_merges, n_merges=8
+        ),
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
         # integer-quantized fit, pytest-oracled vs a local replica)
         "kmeans_embeddings": M.kmeans_embeddings,
