@@ -5,10 +5,16 @@
   print ONE JSON line:
   ``{"metric": ..., "value": sec, "unit": "sec", "queries": {...},
   "sf": ..., "num_cpus": N, "docs_per_sec": ...}``.
-- ``python bench.py --scaling``: run the headline KG pipeline twice in
-  FRESH processes (num_cpus=8 then 32) on the same input and report both
-  throughputs + scaling efficiency (the north rule's two-cluster-size
-  criterion, evidenced at two parallelism levels in this sandbox).
+- ``python bench.py --scaling``: run the headline KG pipeline at two
+  parallelism levels in FRESH processes on the same input and report
+  both throughputs + scaling efficiency (the north rule's
+  two-cluster-size criterion, evidenced at N and 4N CPUs in this
+  sandbox). Default pair is 4→16 (N→4N): the host delivers only ~16
+  real cores, and round-4 instrumentation showed the 32-slot level
+  ALWAYS draws 9-13% hypervisor steal (demanding 32 vCPUs on a
+  16-core host is itself the overcommit), so 8→32 measures the host
+  cap, not the engine — see BASELINE.md round-4 scaling. Override
+  with RAY_GRAFT_SCALING=8,32 etc.
 
 Owns its Ray session (the only scripts allowed to: bench, CLI, tests).
 """
@@ -325,8 +331,10 @@ def run_scaling() -> dict:
     # read, shuffle barriers) must be small relative to compute or the
     # efficiency measures startup, not scaling
     pages = os.environ.get("GRAFT_BENCH_PAGES", "200000")
+    # default 4,16: the N->4N pair that fits inside the host's ~16
+    # real cores (see module docstring; 8,32 is host-bounded)
     lo, hi = (
-        int(x) for x in os.environ.get("RAY_GRAFT_SCALING", "8,32").split(",")
+        int(x) for x in os.environ.get("RAY_GRAFT_SCALING", "4,16").split(",")
     )
     trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
