@@ -188,7 +188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": T.token_counts,
         "doc_quality": T.doc_quality,
         "lang_id_documents": T.lang_id_documents,
-        "fingerprint_documents": T.fingerprint_documents,
         "dedup_exact": T.dedup_exact,
         "span_dedup_documents": T.span_dedup_documents,
         "filter_quality_documents": T.filter_quality_documents,
@@ -248,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training, iteration-1 statistics (the iterative
         # learn loop is bpe_learn_merges below, pytest-oracled)
         "bpe_pair_counts": B.bpe_pair_counts,
+        # sharded inverted index (posting lists; doc-id shard key
+        # bounds every reducer to ~df/n_shards by construction)
+        "inverted_index": G.inverted_index,
         # ---------------- driver-cap boundary (entry #50) ----------------
         # exiled stable SQL twins (still DuckDB-checked in pytest).
         # r4 rotation: customers_without_orders (0-row anti-join —
@@ -264,8 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gets the hard driver signal, long-stable twins keep pytest.
         # Final-r4 rotation: returned_items_revenue (filter+aggregate
         # twin of the in-window q1_pricing_summary) makes room for
-        # bpe_pair_counts.
+        # bpe_pair_counts; fingerprint_documents (its md5 map shape is
+        # the in-window dedup_exact's key step) for inverted_index.
         "returned_items_revenue": R.returned_items_revenue,
+        "fingerprint_documents": T.fingerprint_documents,
         "subword_token_counts": T.subword_token_counts,
         "hash_split_documents": M.hash_split_documents,
         "simhash_documents": T.simhash_documents,
@@ -1017,6 +1021,26 @@ def oracle_sql() -> dict[str, str]:
             FROM t, tot
             GROUP BY tok, tot.n
             HAVING count(*) >= 0.005 * tot.n
+        """,
+        # Sharded inverted index: postings/tfs comma-joined ascending
+        # by doc_id inside each (term, doc_id % 16) shard
+        "inverted_index": r"""
+            WITH td AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\S+'))
+                       AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM td GROUP BY doc_id, term
+            )
+            SELECT term, doc_id % 16 AS shard,
+                   CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings,
+                   string_agg(CAST(tf AS VARCHAR), ','
+                              ORDER BY doc_id) AS tfs
+            FROM tf GROUP BY term, shard
         """,
         # BPE iteration-1 statistics: adjacent char pairs over the word
         # histogram, overlap-counted (generate_series explodes every

@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     # pytest-oracled and ~all fixed exchange cost at gate scale, so
     # only the SQL-oracled stats pass is benched
     "bpe_pair_counts",
+    # r4: sharded inverted index (tf explode + one coarse posting
+    # exchange; doc-id shard key bounds hot-term reducers)
+    "inverted_index",
 ]
 
 

@@ -200,6 +200,80 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     )
 
 
+# ------------------------------------------------ inverted index --------
+def inverted_index(sf_dir: str, n_shards: int = 16) -> "ray.data.Dataset":
+    """Sharded inverted index: one row per (term, shard) holding that
+    shard's sorted posting list — ``postings`` = comma-joined doc_ids
+    ascending, ``tfs`` = the parallel in-doc term frequencies, ``df``
+    = postings length. ``shard = doc_id % n_shards``.
+
+    The corpus-indexing shape (Lucene-style segmented postings): a
+    stopword's posting list is corpus-sized, so an index keyed by term
+    alone hands one reducer the whole corpus — the doc-id shard key
+    bounds every reducer to ~df/n_shards rows BY CONSTRUCTION (no
+    count pass, no heuristics), and n_shards scales with the corpus.
+    Readers union a term's shards; consumers that want the classic
+    single-row layout concat shard rows in shard order.
+
+    Distributed plan: the globally-unique (doc_id, term, tf) explode
+    (`_explode_tf`) is map-only; ONE exchange on the coarse
+    crc32(term)+shard bucket; inside each bucket a vectorized
+    sort + pandas groupby builds the posting strings. SQL-replayable
+    exactly (string_agg ORDER BY doc_id); all outputs are
+    integers/strings — no float policy needed.
+    """
+    import zlib
+
+    n_coarse = 64
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        shard = (ids % n_shards).astype(np.int64)
+        crc = np.fromiter(
+            (zlib.crc32(t.encode()) for t in batch["term"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        coarse = ((crc + shard) % n_coarse).astype(np.int32)
+        return batch.append_column(
+            "shard", pa.array(shard, pa.int64())
+        ).append_column("__b", pa.array(coarse, pa.int32()))
+
+    def build(g: pa.Table) -> pa.Table:
+        df = g.select(["term", "shard", "doc_id", "tf"]).to_pandas()
+        df = df.sort_values(["term", "shard", "doc_id"], kind="mergesort")
+        df["doc_s"] = df["doc_id"].astype(str)
+        df["tf_s"] = df["tf"].astype(str)
+        agg = df.groupby(["term", "shard"], sort=False).agg(
+            df_=("doc_id", "size"),
+            postings=("doc_s", ",".join),
+            tfs=("tf_s", ",".join),
+        )
+        agg = agg.reset_index()
+        return pa.table(
+            {
+                "term": pa.array(agg["term"].tolist(), pa.string()),
+                "shard": pa.array(agg["shard"].to_numpy(), pa.int64()),
+                "df": pa.array(
+                    agg["df_"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "postings": pa.array(agg["postings"].tolist(), pa.string()),
+                "tfs": pa.array(agg["tfs"].tolist(), pa.string()),
+            }
+        )
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    return (
+        _tf_ds(sf_dir)
+        .map_batches(add_keys, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            build, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
+        )
+    )
+
+
 # ----------------------------------------------- co-occurrence PMI ------
 def token_pmi_pairs(
     sf_dir: str, min_count: int = 2, max_doc_terms: int = 4096

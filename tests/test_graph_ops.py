@@ -243,3 +243,51 @@ def test_pagerank_overflow_guard(tmp_path):
     out = G.pagerank_lineitem(sf, iters=3).to_pandas()
     assert len(out) == 2
     assert abs(out.rank_micro.sum() - 1_000_000_000_000) < 1000
+
+
+# -------------------------------------------------- inverted index ------
+def test_inverted_index_hot_term_shards(tmp_path):
+    """A stopword-grade term appearing in every doc splits into
+    n_shards rows whose df sum to the true document frequency and
+    whose postings are disjoint, sorted, and shard-consistent."""
+    n = 64
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(
+                [f"the unique{i}" for i in range(n)], pa.string()
+            ),
+        }
+    )
+    out = G.inverted_index(_mk_sf(tmp_path, documents=docs)).to_pandas()
+    hot = out[out["term"] == "the"].sort_values("shard")
+    assert len(hot) == 16  # one row per shard, every shard hit
+    assert int(hot["df"].sum()) == n
+    seen = []
+    for _, r in hot.iterrows():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert all(i % 16 == r["shard"] for i in ids)
+        assert len(ids) == r["df"]
+        assert r["tfs"] == ",".join("1" for _ in ids)
+        seen.extend(ids)
+    assert sorted(seen) == list(range(n))
+    # each unique term: exactly one (term, shard) row with df 1
+    uniq = out[out["term"] != "the"]
+    assert len(uniq) == n
+    assert (uniq["df"] == 1).all()
+
+
+def test_inverted_index_tf_alignment(tmp_path):
+    # repeated token inside one doc -> tf rides the posting position
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 21], pa.int64()),  # same shard (5)
+            "text": pa.array(["a a a b", "a b b"], pa.string()),
+        }
+    )
+    out = G.inverted_index(_mk_sf(tmp_path, documents=docs)).to_pandas()
+    a = out[out["term"] == "a"].iloc[0]
+    assert (a["shard"], a["postings"], a["tfs"]) == (5, "5,21", "3,1")
+    b = out[out["term"] == "b"].iloc[0]
+    assert (b["shard"], b["postings"], b["tfs"]) == (5, "5,21", "1,2")
