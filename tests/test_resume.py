@@ -70,3 +70,24 @@ def test_compact_parts(pages_path, tmp_path):
         ["subj", "pred", "obj"]).reset_index(drop=True)
     assert before.equals(after)  # compaction is content-preserving
     assert stats["files_after"] <= stats["files_before"]
+
+
+def test_merge_parts_local_collapse_equals_distributed(pages_path, tmp_path):
+    """The gate-scale local collapse (count-gated, minhash-pushdown
+    pattern) must be row-for-row identical to the salted exchange it
+    replaces — same merge kernels, associativity makes one local pass
+    equal the bucketed plan."""
+    out = str(tmp_path / "out")
+    run_partitioned(pages_path, out, num_parts=8, parts_per_chunk=8)
+    local = merge_parts(out).to_pandas()  # default gate: local path
+    dist = merge_parts(out, local_rows_gate=0).to_pandas()  # exchange
+    key = ["subj", "pred", "obj"]
+    local = local.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert sorted(local.columns) == sorted(dist.columns)
+    for c in dist.columns:
+        lv, dv = local[c].tolist(), dist[c].tolist()
+        if c == "sentence_ids":
+            lv = [list(x) for x in lv]
+            dv = [list(x) for x in dv]
+        assert lv == dv, c
