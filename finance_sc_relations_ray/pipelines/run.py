@@ -499,8 +499,9 @@ def merge_parts(
     scale; 1.1 s sized).
 
     Gate-scale collapse (the minhash count-gated pushdown pattern,
-    text.py: the gate is a DISTRIBUTED count — only the scalar reaches
-    the driver): when the read-back holds ≤ ``local_rows_gate`` rows
+    text.py — except the count here is FREE: parquet footer metadata
+    row counts, no scan at all): when the read-back holds ≤
+    ``local_rows_gate`` rows
     (tens of MB; per-part outputs are already part-deduped), the
     exchange's ~2.4 s of task-launch floor at bench scale buys
     nothing — merge locally with the SAME kernels the distributed
@@ -512,9 +513,17 @@ def merge_parts(
     from ..sources.io import sized_read_parquet
     from ..stages.shuffle import _merge_bucket, partial_dedup_batch
 
+    import pyarrow.parquet as pq
+
     keys = ["subj", "pred", "obj"]
+    n_rows = 0
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_rows += pq.read_metadata(os.path.join(root, f)).num_rows
+
     ds = sized_read_parquet(out_dir)
-    if local_rows_gate and ds.count() <= local_rows_gate:
+    if local_rows_gate and n_rows <= local_rows_gate:
         tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
         if not tables:
             return ds
