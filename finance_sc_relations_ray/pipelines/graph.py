@@ -216,28 +216,28 @@ def inverted_index(sf_dir: str, n_shards: int = 16) -> "ray.data.Dataset":
     single-row layout concat shard rows in shard order.
 
     Distributed plan: the globally-unique (doc_id, term, tf) explode
-    (`_explode_tf`) is map-only; ONE exchange on the coarse
-    crc32(term)+shard bucket; inside each bucket a vectorized
+    (`_explode_tf`) is map-only; ONE exchange on a coarse
+    hash(term)+shard bucket; inside each bucket a vectorized
     sort + pandas groupby builds the posting strings. SQL-replayable
     exactly (string_agg ORDER BY doc_id); all outputs are
     integers/strings — no float policy needed.
     """
-    import zlib
-
     n_coarse = 64
 
     def add_keys(batch: pa.Table) -> pa.Table:
+        # __b is internal routing only (never oracle-compared), so it
+        # needs cross-batch/worker determinism, not SQL parity — the
+        # vectorized pandas siphash (salted_dedup's bucket kernel),
+        # not a per-row Python crc loop over corpus-sized tf rows
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         shard = (ids % n_shards).astype(np.int64)
-        crc = np.fromiter(
-            (zlib.crc32(t.encode()) for t in batch["term"].to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
-        coarse = ((crc + shard) % n_coarse).astype(np.int32)
+        h = pd.util.hash_pandas_object(
+            pd.Series(batch["term"].to_pandas()), index=False
+        ).to_numpy()
+        coarse = ((h % np.uint64(n_coarse)).astype(np.int64) + shard) % n_coarse
         return batch.append_column(
             "shard", pa.array(shard, pa.int64())
-        ).append_column("__b", pa.array(coarse, pa.int32()))
+        ).append_column("__b", pa.array(coarse.astype(np.int32), pa.int32()))
 
     def build(g: pa.Table) -> pa.Table:
         df = g.select(["term", "shard", "doc_id", "tf"]).to_pandas()
