@@ -48,8 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from finance_sc_relations_ray.pipelines import graph as G
     from finance_sc_relations_ray.pipelines import mlops as M
     from finance_sc_relations_ray.pipelines import relational as R
+    from finance_sc_relations_ray.pipelines import retrieval as RT
     from finance_sc_relations_ray.pipelines import similarity as S
     from finance_sc_relations_ray.pipelines import text as T
+    from finance_sc_relations_ray.pipelines import web as W
     from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
     from finance_sc_relations_ray.stages.multimodal import (
         DecodeStubActor,
@@ -177,7 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": R.user_sessions,
         "events_asof_join": R.events_asof_join,
         "events_range_join": R.events_range_join,
-        "events_user_cumsum": R.events_user_cumsum,
+        # bounded ROWS-window rolling aggregate (r4: the other half of
+        # the ordered-window family; its unbounded mechanism-twin
+        # events_user_cumsum rotates past the cap)
+        "events_rolling": R.events_rolling,
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
         "redact_pii_documents": T.redact_pii_documents,
@@ -185,7 +190,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": T.repetition_stats_documents,
         "decontaminate_documents": T.decontaminate_documents,
         "sentencize_documents": T.sentencize_documents,
-        "token_counts": T.token_counts,
         "doc_quality": T.doc_quality,
         "lang_id_documents": T.lang_id_documents,
         "dedup_exact": T.dedup_exact,
@@ -229,7 +233,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_sketch": M.value_quantile_sketch,
         "stratified_split_documents": M.stratified_split_documents,
         "sample_documents_weighted": M.sample_documents_weighted,
-        "embedding_dup_pairs": M.embedding_dup_pairs,
         "embedding_dup_pairs_lsh": functools.partial(
             M.embedding_dup_pairs_lsh, on_degenerate="raise"
         ),
@@ -250,6 +253,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sharded inverted index (posting lists; doc-id shard key
         # bounds every reducer to ~df/n_shards by construction)
         "inverted_index": G.inverted_index,
+        # BM25 ranked retrieval (r4): map-only two-pass, zero
+        # exchanges, integer-folded scoring (pipelines/retrieval.py)
+        "bm25_search": RT.bm25_search,
+        # per-domain crawl stats over the synthesized pages: engine
+        # parses urls, oracle replays the synthesis formula (web.py)
+        "domain_stats": lambda sf_dir: W.domain_stats(_pages(sf_dir)),
         # ---------------- driver-cap boundary (entry #50) ----------------
         # exiled stable SQL twins (still DuckDB-checked in pytest).
         # r4 rotation: customers_without_orders (0-row anti-join —
@@ -268,6 +277,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twin of the in-window q1_pricing_summary) makes room for
         # bpe_pair_counts; fingerprint_documents (its md5 map shape is
         # the in-window dedup_exact's key step) for inverted_index.
+        # r4 retrieval/web rotation: token_counts (tokenizer parity is
+        # transitively in-window via tfidf/bm25's identical explode +
+        # SQL regex replay), events_user_cumsum (unbounded mechanism-
+        # twin of the in-window events_rolling) and embedding_dup_pairs
+        # (the exact small-scale oracle twin of the in-window LSH path,
+        # pair-exact cross-validated in pytest) make room for
+        # bm25_search, domain_stats and events_rolling.
+        "token_counts": T.token_counts,
+        "events_user_cumsum": R.events_user_cumsum,
+        "embedding_dup_pairs": M.embedding_dup_pairs,
         "returned_items_revenue": R.returned_items_revenue,
         "fingerprint_documents": T.fingerprint_documents,
         "subword_token_counts": T.subword_token_counts,
@@ -319,7 +338,13 @@ def oracle_sql() -> dict[str, str]:
     ws = _WS.replace("'", "''")
     # MinHash permutation constants (seed 42) embedded as literals so
     # DuckDB reproduces the engine's signatures bit-for-bit
+    from finance_sc_relations_ray.pipelines.retrieval import (
+        bm25_oracle_sql as _bm25_oracle,
+    )
     from finance_sc_relations_ray.pipelines.text import _minhash_params
+    from finance_sc_relations_ray.pipelines.web import (
+        DOMAIN_STATS_ORACLE as _DOMAIN_STATS_ORACLE,
+    )
 
     mh_a, mh_b = _minhash_params(64)
     mh_perms = ", ".join(
@@ -493,6 +518,17 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) / 100.0 AS running_value
             FROM events
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w::BIGINT AS roll_n,
+                   sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                       / 100.0 AS roll_sum,
+                   max(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                       / 100.0 AS roll_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "segment_order_stats_bucket_join": """
             SELECT c.c_mktsegment,
@@ -1064,6 +1100,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, pair
             LIMIT 30
         """,
+        # BM25 ranked retrieval: the oracle SQL is GENERATED from the
+        # same query tuple and integer-folded coefficients as the
+        # engine (pipelines/retrieval.bm25_oracle_sql), so the two
+        # cannot drift; every compared double is a fixed tree of IEEE
+        # ops on ≤2^53 int64s (see module docstring there)
+        "bm25_search": _bm25_oracle(),
+        # Per-domain crawl stats: the engine parses real urls from the
+        # synthesized pages parquet; the oracle independently replays
+        # the deterministic synthesis formula from documents
+        # (sources/pages.py:123-124)
+        "domain_stats": _DOMAIN_STATS_ORACLE,
         # Full MinHash+LSH+verify mirror: identical md5-64 shingle
         # hashes, the engine's exact (a*h+b) uint64-WRAP-then-Mersenne
         # permutation arithmetic (constants embedded above), md5-64

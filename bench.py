@@ -91,6 +91,15 @@ BENCH_QUERIES = [
     # r4: sharded inverted index (tf explode + one coarse posting
     # exchange; doc-id shard key bounds hot-term reducers)
     "inverted_index",
+    # r4: BM25 ranked retrieval — two map-only corpus passes, zero
+    # exchanges, batch-local top-k (pipelines/retrieval.py)
+    "bm25_search",
+    # r4: per-domain crawl stats over the synthesized pages (url parse
+    # + combiner partials + one host-cardinality groupby)
+    "domain_stats",
+    # r4: bounded ROWS-window rolling aggregate (one user-bucket
+    # exchange + vectorized cumsum-diff kernels)
+    "events_rolling",
 ]
 
 

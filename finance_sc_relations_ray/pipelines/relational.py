@@ -670,6 +670,77 @@ def events_user_cumsum(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# --------------------------------- bounded rolling window (ROWS) --------
+def events_rolling(sf_dir: str, window: int = 7) -> "ray.data.Dataset":
+    """Per-user BOUNDED rolling aggregate over the trailing ``window``
+    rows ordered by (ts, event_id) — the ``ROWS BETWEEN 6 PRECEDING
+    AND CURRENT ROW`` window-function analog, the other half of the
+    ordered-window family next to :func:`events_user_cumsum`'s
+    unbounded running total (SURVEY.md §2.7's A3 rollups are the
+    tumbling third).
+
+    Same distributed shape as the cumsum: ONE exchange onto coarse
+    user buckets (a user's history lands in exactly one group), then
+    fully vectorized kernels per bucket. Exactness: 2-decimal values
+    ride as int64 cents; the rolling sum is the cumsum-minus-shifted-
+    cumsum difference (order-independent int arithmetic), the rolling
+    max is over int64 cents (float64-exact ≤ 2^53); both divide by
+    100.0 once at the end, matching the oracle's fixed tree.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [int(u) % 32 for u in batch["user_id"].to_pylist()]
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v2 = pd.Series(
+            np.rint(g["value"].to_numpy() * 100.0).astype(np.int64),
+            index=g.index,
+        )
+        grp = v2.groupby(g["user_id"].to_numpy(), sort=False)
+        cum = grp.cumsum().to_numpy()
+        # trailing-window sum = cum[i] - cum[i-window] within the user
+        shifted = (
+            pd.Series(cum, index=g.index)
+            .groupby(g["user_id"].to_numpy(), sort=False)
+            .shift(window)
+            .fillna(0.0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        roll_sum = cum - shifted
+        pos = grp.cumcount().to_numpy()
+        roll_n = np.minimum(pos + 1, window).astype(np.int64)
+        roll_max = (
+            v2.groupby(g["user_id"].to_numpy(), sort=False)
+            .rolling(window, min_periods=1)
+            .max()
+            .reset_index(drop=True)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+                "roll_n": roll_n,
+                "roll_sum": roll_sum / 100.0,
+                "roll_max": roll_max / 100.0,
+            }
+        )
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(roll, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
 # --------------------------------- bucket-join relational rollup --------
 def segment_order_stats_bucket_join(sf_dir: str) -> pd.DataFrame:
     """``segment_order_stats`` computed through the generic

@@ -1,0 +1,143 @@
+"""BM25 retrieval, domain stats and the bounded rolling window —
+behavioral tests beyond the DuckDB parity gate (which covers all
+three at sf0.001 in test_queries_vs_duckdb.py)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from finance_sc_relations_ray.pipelines.relational import events_rolling
+from finance_sc_relations_ray.pipelines.retrieval import bm25_search
+from finance_sc_relations_ray.pipelines.web import domain_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- BM25 ----
+def _mini_corpus(tmp_path, texts):
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_bm25_ranks_stuffed_doc_first(tmp_path):
+    texts = (
+        ["filler words only nothing relevant here at all"] * 20
+        + ["query vector stream query vector stream query"]
+        + ["one query mention inside a fairly long padding document " * 3]
+    )
+    out = bm25_search(_mini_corpus(tmp_path, texts), k=5)
+    assert out["doc_id"].iloc[0] == 20
+    # only matching docs are returned, scores strictly positive & sorted
+    assert (out["score"] > 0).all()
+    assert list(out["score"]) == sorted(out["score"], reverse=True)
+    assert len(out) == 2  # exactly the two docs containing query terms
+
+
+def test_bm25_length_normalization(tmp_path):
+    # same tf, shorter doc → higher score (the b·dl/avgdl term)
+    texts = [
+        "query short",
+        "query " + "padding " * 50,
+        "unrelated text " * 5,
+    ]
+    out = bm25_search(_mini_corpus(tmp_path, texts), query=("query",), k=3)
+    assert list(out["doc_id"])[:2] == [0, 1]
+    assert out["score"].iloc[0] > out["score"].iloc[1]
+
+
+def test_bm25_no_match_returns_empty(tmp_path):
+    out = bm25_search(
+        _mini_corpus(tmp_path, ["nothing here", "still nothing"]),
+        query=("zzzabsent",),
+    )
+    assert len(out) == 0
+
+
+def test_bm25_exactness_bound_raises(tmp_path, monkeypatch):
+    import finance_sc_relations_ray.pipelines.retrieval as rt
+
+    # force the ≤2^53 guard to trip without a 10^8-token corpus
+    monkeypatch.setattr(rt, "_C_TF", 2**60)
+    with pytest.raises(ValueError, match="exactness bound"):
+        bm25_search(_mini_corpus(tmp_path, ["query text"]))
+
+
+# ----------------------------------------------------- domain stats ----
+def test_domain_stats_unparseable_url_raises(tmp_path):
+    p = tmp_path / "pages.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(["not a url"], pa.string()),
+                "warc_ts": pa.array(
+                    [pd.Timestamp("2024-01-01")], pa.timestamp("us")
+                ),
+            }
+        ),
+        str(p),
+    )
+    with pytest.raises(Exception, match="unparseable page url"):
+        domain_stats(str(p)).to_pandas()
+
+
+def test_domain_stats_partitions_doc_ids(tmp_path):
+    from finance_sc_relations_ray.sources.pages import pages_parquet_for
+
+    out = domain_stats(pages_parquet_for(SF)).to_pandas()
+    # every doc lands in exactly one domain; totals add up
+    n_docs = len(pq.read_table(os.path.join(SF, "documents.parquet")))
+    assert out["n_pages"].sum() == n_docs
+    assert out["domain"].is_unique
+    # doc-id ranges are consistent with the modulus partitioning
+    for _, r in out.iterrows():
+        d = int(r["domain"].removeprefix("example").removesuffix(".com"))
+        assert r["min_doc_id"] % 127 == d
+        assert r["max_doc_id"] % 127 == d
+
+
+# ---------------------------------------------------- rolling window ---
+def test_events_rolling_matches_bruteforce():
+    got = (
+        events_rolling(SF)
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = (
+        pq.read_table(os.path.join(SF, "events.parquet"))
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    cents = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    exp_sum, exp_n, exp_max = [], [], []
+    for uid, idx in ev.groupby("user_id", sort=False).indices.items():
+        c = cents[idx]
+        for i in range(len(c)):
+            w = c[max(0, i - 6) : i + 1]
+            exp_sum.append(w.sum())
+            exp_n.append(len(w))
+            exp_max.append(w.max())
+    assert got["roll_n"].tolist() == exp_n
+    assert np.array_equal(
+        np.rint(got["roll_sum"].to_numpy() * 100.0).astype(np.int64),
+        np.array(exp_sum),
+    )
+    assert np.array_equal(
+        np.rint(got["roll_max"].to_numpy() * 100.0).astype(np.int64),
+        np.array(exp_max),
+    )
