@@ -308,6 +308,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn_merges": functools.partial(
             B.bpe_learn_merges, n_merges=8
         ),
+        # BPE encode (non-SQL: applies the iteratively-learned merge
+        # list; pytest-oracled vs the single-process replica). The
+        # merge list is broadcast once; encode is map-only with an
+        # actor-resident unique-word cache
+        "bpe_encode_documents": functools.partial(
+            B.bpe_encode_documents, n_merges=8
+        ),
         # iterative embedding ops (non-SQL: Lloyd's iterations; exact
         # integer-quantized fit, pytest-oracled vs a local replica)
         "kmeans_embeddings": M.kmeans_embeddings,

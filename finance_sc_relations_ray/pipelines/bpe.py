@@ -241,3 +241,94 @@ def bpe_learn_merges(sf_dir: str, n_merges: int = 20) -> pd.DataFrame:
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "n"]
     ).astype({"rank": "int64", "n": "int64"})
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge list (rank order) to one word — the
+    standard BPE encode: each merge is applied greedily left-to-right
+    before the next rank is considered."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = apply_merge(syms, left, right)
+    return syms
+
+
+def bpe_encode_documents(
+    sf_dir: str,
+    n_merges: int = 32,
+    merges: "pd.DataFrame | None" = None,
+) -> "ray.data.Dataset":
+    """Segment every document with a learned BPE merge list — the
+    consumer half of the tokenizer-training story (train on the
+    corpus, then ENCODE the corpus for packing/length stats; the
+    reference applies its pickled pretrained tokenizer the same way,
+    `/root/reference/src/relation_extraction/preprocessing_funcs.py:
+    360-381`, SURVEY.md ST5/M10). Returns one row per doc:
+    (doc_id, n_words, n_subwords).
+
+    Scale shape: the merge list is tokenizer-sized (≤ vocab budget),
+    broadcast ONCE via ``ray.put`` and resolved in each actor's
+    ``__init__`` — never re-shipped per batch. The encode pass is
+    map-only over the corpus; each batch factorizes its tokens and
+    encodes only the UNIQUE words (an actor-resident word→length
+    cache persists across batches, so hot words — Zipf's bulk — are
+    encoded once per actor, not once per occurrence).
+    """
+    if merges is None:
+        merges = bpe_learn_merges(sf_dir, n_merges=n_merges)
+    merge_list = list(zip(merges["left"].tolist(), merges["right"].tolist()))
+    merges_ref = ray.put(merge_list)
+
+    class BPEEncoder:
+        def __init__(self):
+            self.merges: list[tuple[str, str]] = ray.get(merges_ref)
+            self.cache: dict[str, int] = {}
+
+        def _n_sub(self, word: str) -> int:
+            n = self.cache.get(word)
+            if n is None:
+                n = len(encode_word(word, self.merges))
+                self.cache[word] = n
+            return n
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            flat, counts = textops.tokens_lower_batch(texts)
+            codes, uniques = pd.factorize(flat, sort=False)
+            sub_per_unique = np.fromiter(
+                (self._n_sub(w) for w in uniques),
+                dtype=np.int64,
+                count=len(uniques),
+            )
+            rep = np.repeat(
+                np.arange(len(texts), dtype=np.int64), counts
+            )
+            n_sub = np.bincount(
+                rep,
+                weights=(
+                    sub_per_unique[codes]
+                    if len(codes)
+                    else np.zeros(0, np.int64)
+                ),
+                minlength=len(texts),
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_words": pa.array(counts, pa.int64()),
+                    "n_subwords": pa.array(n_sub, pa.int64()),
+                }
+            )
+
+    return sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).map_batches(
+        BPEEncoder,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=0.5,
+    )

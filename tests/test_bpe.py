@@ -115,3 +115,41 @@ def test_learn_merges_vs_reference_sf():
     exp = reference_bpe(texts, n_merges=12)
     got = bpe_learn_merges(SF, n_merges=12)
     assert [tuple(r) for r in got.values.tolist()] == exp
+
+
+def test_encode_word_rank_order():
+    from finance_sc_relations_ray.pipelines.bpe import encode_word
+
+    # merge rank order matters: (a,b) before (ab,c) composes; the
+    # reverse list can never build 'abc'
+    assert encode_word("abc", [("a", "b"), ("ab", "c")]) == ["abc"]
+    assert encode_word("abc", [("ab", "c"), ("a", "b")]) == ["ab", "c"]
+
+
+def test_encode_documents_vs_reference(tmp_path):
+    from finance_sc_relations_ray.pipelines.bpe import (
+        bpe_encode_documents,
+        encode_word,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the theme then there",
+        "a aa aaa aaaa",
+        "",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = (
+        bpe_encode_documents(sf, n_merges=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    merges = [(l, r) for _, l, r, _ in reference_bpe(texts, 6)]
+    for i, t in enumerate(texts):
+        toks = textops.tokens_lower(t)
+        exp_sub = sum(len(encode_word(w, merges)) for w in toks)
+        assert got["n_words"].iloc[i] == len(toks)
+        assert got["n_subwords"].iloc[i] == exp_sub, (i, t)
+    # merges fuse: subwords never exceed characters, never below words
+    assert (got["n_subwords"] >= got["n_words"]).all()
