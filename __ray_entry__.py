@@ -284,6 +284,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (the exact small-scale oracle twin of the in-window LSH path,
         # pair-exact cross-validated in pytest) make room for
         # bm25_search, domain_stats and events_rolling.
+        # indexed BM25: the serving-path result-twin of the in-window
+        # bm25_search (same scoring kernel + SQL oracle; pair-exactness
+        # pytest-enforced), reading the persisted postings/norms index
+        # instead of scanning the corpus
+        "bm25_search_indexed": RT.bm25_search_indexed,
         "token_counts": T.token_counts,
         "events_user_cumsum": R.events_user_cumsum,
         "embedding_dup_pairs": M.embedding_dup_pairs,
@@ -1113,6 +1118,9 @@ def oracle_sql() -> dict[str, str]:
         # cannot drift; every compared double is a fixed tree of IEEE
         # ops on ≤2^53 int64s (see module docstring there)
         "bm25_search": _bm25_oracle(),
+        # identical oracle by construction: the indexed path must
+        # return the exact same top-k as the corpus-scan path
+        "bm25_search_indexed": _bm25_oracle(),
         # Per-domain crawl stats: the engine parses real urls from the
         # synthesized pages parquet; the oracle independently replays
         # the deterministic synthesis formula from documents

@@ -89,6 +89,47 @@ def _per_doc_tf(
     return counts, tf
 
 
+def _bm25_scores(
+    tf: np.ndarray,
+    dl: np.ndarray,
+    n_docs: int,
+    total_t: int,
+    df: np.ndarray,
+) -> np.ndarray:
+    """The shared scoring kernel: tf is (n_terms, n_rows) int64, dl is
+    (n_rows,) int64. Both retrieval paths (corpus scan and index read)
+    call THIS function, so their doubles are bit-identical by
+    construction — and both match the generated SQL oracle's fixed
+    IEEE tree."""
+    fn = np.float64(n_docs)
+    fdf = df.astype(np.float64)
+    score = np.zeros(tf.shape[1], dtype=np.float64)
+    for j in range(tf.shape[0]):
+        num = (_C_NUM * tf[j] * total_t).astype(np.float64)
+        den = (
+            _C_TF * tf[j] * total_t
+            + _C_T * total_t
+            + _C_DLN * dl * n_docs
+        ).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s_j = np.where(tf[j] > 0, (fn / fdf[j]) * (num / den), 0.0)
+        # left-to-right sum in query order == the oracle's
+        # ((s1 + s2) + s3) tree
+        score = score + s_j
+    return score
+
+
+def _check_exactness_bound(total_t: int) -> None:
+    # every int entering a CAST AS DOUBLE must be ≤ 2^53 (see module
+    # docstring; tf ≤ dl ≤ total_t)
+    if _C_TF * total_t * total_t > 2**53:
+        raise ValueError(
+            "bm25 exactness bound exceeded: shard token count "
+            f"{total_t} too large — shard the corpus (10·tf·T must "
+            "stay ≤ 2^53)"
+        )
+
+
 def bm25_search(
     sf_dir: str,
     query: tuple[str, ...] = DEFAULT_QUERY,
@@ -125,34 +166,13 @@ def bm25_search(
         [int(partials[f"df_{j + 1}"].sum()) for j in range(nq)],
         dtype=np.int64,
     )
-    # exactness bound: every int entering a CAST AS DOUBLE must be
-    # ≤ 2^53 (see module docstring; tf ≤ dl ≤ total_t)
-    if _C_TF * total_t * total_t > 2**53:
-        raise ValueError(
-            "bm25_search exactness bound exceeded: shard token count "
-            f"{total_t} too large — shard the corpus (10·tf·T must "
-            "stay ≤ 2^53)"
-        )
+    _check_exactness_bound(total_t)
 
     # ---- pass B: rederive per-doc tf/dl, score, batch-local top-k
-    fn = np.float64(n_docs)
-    fdf = df.astype(np.float64)
-    tt = total_t
-
     def score_topk(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         dl, tf = _per_doc_tf(batch["text"].to_pylist(), terms)
-        score = np.zeros(len(doc_ids), dtype=np.float64)
-        for j in range(nq):
-            num = (_C_NUM * tf[j] * tt).astype(np.float64)
-            den = (
-                _C_TF * tf[j] * tt + _C_T * tt + _C_DLN * dl * n_docs
-            ).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                s_j = np.where(tf[j] > 0, (fn / fdf[j]) * (num / den), 0.0)
-            # left-to-right sum in query order == the oracle's
-            # ((s1 + s2) + s3) tree
-            score = score + s_j
+        score = _bm25_scores(tf, dl, n_docs, total_t, df)
         keep = tf.sum(axis=0) > 0
         out = pd.DataFrame({"doc_id": doc_ids[keep], "dl": dl[keep]})
         for j in range(nq):
@@ -178,6 +198,227 @@ def bm25_search(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def build_bm25_index(sf_dir: str, out_dir: str | None = None) -> str:
+    """Persist the retrieval artifacts once (cached like the pages
+    fixture): the sharded inverted index (``postings/`` — one parquet
+    directory from `graph.inverted_index`, the Lucene segmented-
+    postings layout), a doc-length norms sidecar (``norms/`` —
+    (doc_id, dl), Lucene's norms file analog), and a one-row
+    ``stats`` parquet (n_docs, total_tokens). All three writes are
+    distributed ``write_parquet``; only the output PATH touches the
+    driver. The directory is committed atomically (tmp + rename) so a
+    killed build never leaves a half-index a later search would
+    trust."""
+    import pyarrow.parquet as pq
+
+    from .graph import inverted_index
+
+    # cache key includes the source size so a changed corpus under the
+    # same sf name never reuses a stale index (pages-fixture pattern)
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + (
+        f"-{os.path.getsize(src)}" if os.path.exists(src) else ""
+    )
+    out_dir = out_dir or f"/tmp/fscr_bm25_index/{tag}"
+    if os.path.isdir(out_dir) and os.path.exists(
+        os.path.join(out_dir, "stats.parquet")
+    ):
+        return out_dir
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    inverted_index(sf_dir).write_parquet(os.path.join(tmp, "postings"))
+
+    def norms(batch: pa.Table) -> pa.Table:
+        _, counts = textops.tokens_lower_batch(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "dl": pa.array(counts, pa.int64()),
+            }
+        )
+
+    norms_ds = _read_docs(sf_dir).map_batches(norms, batch_format="pyarrow")
+    norms_ds.write_parquet(os.path.join(tmp, "norms"))
+    # n_docs/total_tokens roll up from the norms WRITE's own output
+    # (footer metadata, no second corpus scan)
+    n_docs = 0
+    total = 0
+    nd = os.path.join(tmp, "norms")
+    for f in os.listdir(nd):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(nd, f), columns=["dl"])
+            n_docs += len(t)
+            total += int(
+                np.sum(t["dl"].to_numpy(zero_copy_only=False))
+            )
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "total_tokens": pa.array([total], pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "stats.parquet"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def bm25_search_indexed(
+    sf_dir: str,
+    query: tuple[str, ...] = DEFAULT_QUERY,
+    k: int = 10,
+    index_dir: str | None = None,
+) -> pd.DataFrame:
+    """BM25 over the PERSISTED index — the serving-path twin of
+    :func:`bm25_search` (same query, same scoring kernel, identical
+    output and SQL oracle; pair-exactness is pytest-enforced). Where
+    the scan path reads the corpus twice, this reads O(Σ df) index
+    rows: a term-predicate pushdown scan of ``postings/`` (the term
+    column is the parquet sort/stats key, so non-matching row groups
+    never leave storage), the (term, df)-only column-pruned pass for
+    the idf scalars, then a posting explode joined to the norms
+    sidecar on doc-id buckets. The corpus itself is never touched —
+    at 100 TB that is the difference between a query and a job.
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import bucket_lookup_join
+
+    terms = tuple(query)
+    nq = len(terms)
+    idx = index_dir or build_bm25_index(sf_dir)
+
+    st = pq.read_table(os.path.join(idx, "stats.parquet"))
+    n_docs = int(st["n_docs"][0].as_py())
+    total_t = int(st["total_tokens"][0].as_py())
+    _check_exactness_bound(total_t)
+
+    # idf scalars: column-pruned (term, df) read, summed across shards
+    df_tbl = (
+        sized_read_parquet(
+            os.path.join(idx, "postings"),
+            columns=["term", "df"],
+            filter=pads.field("term").isin(terms),
+        )
+        .to_pandas()
+        .groupby("term")["df"]
+        .sum()
+    )
+    df = np.array(
+        [int(df_tbl.get(t, 0)) for t in terms], dtype=np.int64
+    )
+
+    term_idx = {t: j for j, t in enumerate(terms)}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        tfs_out: list[np.ndarray] = []
+        js_out: list[np.ndarray] = []
+        for t, p, tfs in zip(
+            batch["term"].to_pylist(),
+            batch["postings"].to_pylist(),
+            batch["tfs"].to_pylist(),
+        ):
+            ids = np.array(p.split(","), dtype=np.int64)
+            tfv = np.array(tfs.split(","), dtype=np.int64)
+            ids_out.append(ids)
+            tfs_out.append(tfv)
+            js_out.append(np.full(len(ids), term_idx[t], np.int64))
+        if not ids_out:
+            return _EXPLODED_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+                "tj": pa.array(np.concatenate(js_out), pa.int64()),
+                "tf": pa.array(np.concatenate(tfs_out), pa.int64()),
+            }
+        )
+
+    exploded = sized_read_parquet(
+        os.path.join(idx, "postings"),
+        columns=["term", "postings", "tfs"],
+        filter=pads.field("term").isin(terms),
+    ).map_batches(explode, batch_format="pyarrow")
+
+    norms_ds = sized_read_parquet(
+        os.path.join(idx, "norms"), columns=["doc_id", "dl"]
+    )
+    joined = bucket_lookup_join(
+        exploded,
+        norms_ds,
+        on="doc_id",
+        right_key="doc_id",
+        payload={"dl": "dl"},
+        left_schema=_EXPLODED_SCHEMA,
+        payload_types={"dl": pa.int64()},
+        num_buckets=32,
+    )
+
+    n_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch["doc_id"].to_numpy(zero_copy_only=False) % n_buckets
+        return batch.append_column(
+            "__db", pa.array(b.astype(np.int32), pa.int32())
+        )
+
+    def score_group(g: pa.Table) -> pa.Table:
+        gdf = g.select(["doc_id", "tj", "tf", "dl"]).to_pandas()
+        piv = gdf.pivot_table(
+            index=["doc_id", "dl"],
+            columns="tj",
+            values="tf",
+            aggfunc="first",
+            fill_value=0,
+        ).reset_index()
+        doc_ids = piv["doc_id"].to_numpy(np.int64)
+        dl = piv["dl"].to_numpy(np.int64)
+        tf = np.zeros((nq, len(piv)), dtype=np.int64)
+        for j in range(nq):
+            if j in piv.columns:
+                tf[j] = piv[j].to_numpy(np.int64)
+        score = _bm25_scores(tf, dl, n_docs, total_t, df)
+        out = pd.DataFrame({"doc_id": doc_ids, "dl": dl})
+        for j in range(nq):
+            out[f"tf_{j + 1}"] = tf[j]
+        out["score"] = score
+        out = out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = (
+        joined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(score_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if cand.empty:
+        cols = ["doc_id", "dl", *[f"tf_{j + 1}" for j in range(nq)], "score"]
+        return pd.DataFrame({c: [] for c in cols})
+    return (
+        cand.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(k)
+        .reset_index(drop=True)[
+            ["doc_id", "dl", *[f"tf_{j + 1}" for j in range(nq)], "score"]
+        ]
+    )
+
+
+_EXPLODED_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("tj", pa.int64()), ("tf", pa.int64())]
+)
 
 
 def bm25_oracle_sql(

@@ -141,3 +141,46 @@ def test_events_rolling_matches_bruteforce():
         np.rint(got["roll_max"].to_numpy() * 100.0).astype(np.int64),
         np.array(exp_max),
     )
+
+
+# ------------------------------------------------- indexed BM25 --------
+def test_bm25_indexed_pair_exact_with_scan_path(tmp_path):
+    from finance_sc_relations_ray.pipelines.retrieval import (
+        bm25_search_indexed,
+        build_bm25_index,
+    )
+
+    texts = [
+        "query vector stream engine",
+        "vector vector stream " + "pad " * 30,
+        "no relevant terms at all",
+        "query " * 5,
+    ]
+    sf = _mini_corpus(tmp_path, texts)
+    idx = build_bm25_index(sf, out_dir=str(tmp_path / "idx"))
+    a = bm25_search(sf)
+    b = bm25_search_indexed(sf, index_dir=idx)
+    pd.testing.assert_frame_equal(a, b)
+    # a different query against the SAME cached index, still exact
+    a2 = bm25_search(sf, query=("pad", "engine"), k=2)
+    b2 = bm25_search_indexed(sf, query=("pad", "engine"), k=2, index_dir=idx)
+    pd.testing.assert_frame_equal(a2, b2)
+
+
+def test_bm25_index_build_is_cached_and_atomic(tmp_path):
+    from finance_sc_relations_ray.pipelines.retrieval import build_bm25_index
+
+    sf = _mini_corpus(tmp_path, ["query one", "query two"])
+    out = str(tmp_path / "idx2")
+    p1 = build_bm25_index(sf, out_dir=out)
+    stats = os.path.join(p1, "stats.parquet")
+    mtime = os.path.getmtime(stats)
+    p2 = build_bm25_index(sf, out_dir=out)  # cache hit: no rebuild
+    assert p1 == p2 and os.path.getmtime(stats) == mtime
+    # a half-built directory (no stats.parquet) is NOT trusted
+    import shutil
+
+    os.remove(stats)
+    build_bm25_index(sf, out_dir=out)
+    assert os.path.exists(stats)
+    shutil.rmtree(out)
