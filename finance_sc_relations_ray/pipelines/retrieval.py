@@ -245,18 +245,18 @@ def build_bm25_index(sf_dir: str, out_dir: str | None = None) -> str:
 
     norms_ds = _read_docs(sf_dir).map_batches(norms, batch_format="pyarrow")
     norms_ds.write_parquet(os.path.join(tmp, "norms"))
-    # n_docs/total_tokens roll up from the norms WRITE's own output
-    # (footer metadata, no second corpus scan)
-    n_docs = 0
-    total = 0
+    # n_docs/total_tokens roll up from the norms WRITE's own output:
+    # row counts from parquet FOOTER metadata only (free, no scan —
+    # the merge_parts gate pattern), the token total via a distributed
+    # sum over the dl column (the driver sees two scalars, never the
+    # corpus-sized norms rows)
     nd = os.path.join(tmp, "norms")
-    for f in os.listdir(nd):
-        if f.endswith(".parquet"):
-            t = pq.read_table(os.path.join(nd, f), columns=["dl"])
-            n_docs += len(t)
-            total += int(
-                np.sum(t["dl"].to_numpy(zero_copy_only=False))
-            )
+    n_docs = sum(
+        pq.read_metadata(os.path.join(nd, f)).num_rows
+        for f in os.listdir(nd)
+        if f.endswith(".parquet")
+    )
+    total = int(sized_read_parquet(nd, columns=["dl"]).sum("dl") or 0)
     pq.write_table(
         pa.table(
             {
