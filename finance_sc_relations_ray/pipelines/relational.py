@@ -639,8 +639,10 @@ def events_user_cumsum(sf_dir: str) -> "ray.data.Dataset":
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = [int(u) % 32 for u in batch["user_id"].to_pylist()]
-        return batch.append_column("bucket", pa.array(b, pa.int32()))
+        b = batch["user_id"].to_numpy(zero_copy_only=False) % 32
+        return batch.append_column(
+            "bucket", pa.array(b.astype(np.int32), pa.int32())
+        )
 
     def cumsum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -690,31 +692,34 @@ def events_rolling(sf_dir: str, window: int = 7) -> "ray.data.Dataset":
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = [int(u) % 32 for u in batch["user_id"].to_pylist()]
-        return batch.append_column("bucket", pa.array(b, pa.int32()))
+        b = batch["user_id"].to_numpy(zero_copy_only=False) % 32
+        return batch.append_column(
+            "bucket", pa.array(b.astype(np.int32), pa.int32())
+        )
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        v2 = pd.Series(
-            np.rint(g["value"].to_numpy() * 100.0).astype(np.int64),
-            index=g.index,
-        )
-        grp = v2.groupby(g["user_id"].to_numpy(), sort=False)
-        cum = grp.cumsum().to_numpy()
-        # trailing-window sum = cum[i] - cum[i-window] within the user
-        shifted = (
-            pd.Series(cum, index=g.index)
-            .groupby(g["user_id"].to_numpy(), sort=False)
-            .shift(window)
-            .fillna(0.0)
-            .to_numpy()
-            .astype(np.int64)
-        )
-        roll_sum = cum - shifted
-        pos = grp.cumcount().to_numpy()
-        roll_n = np.minimum(pos + 1, window).astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        v2 = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        n = len(uid)
+        # users are contiguous after the sort: one global prefix sum +
+        # per-row group-start offsets replace any per-group pass.
+        # trailing-window sum at i = sum(v[lo:i+1]) with
+        # lo = max(group_start, i - window + 1).
+        is_start = np.r_[True, uid[1:] != uid[:-1]] if n else np.zeros(0, bool)
+        starts = np.flatnonzero(is_start)
+        sizes = np.diff(np.r_[starts, n])
+        start = np.repeat(starts, sizes)  # per-row group start index
+        c0 = np.r_[np.int64(0), np.cumsum(v2)]  # c0[i] = sum of v2[:i]
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(start, idx - window + 1)
+        roll_sum = c0[idx + 1] - c0[lo]
+        roll_n = np.minimum(idx - start + 1, window).astype(np.int64)
+        # rolling max has no prefix-sum form; ONE pandas groupby pass
+        # (group-major order == row order because g is user-sorted)
         roll_max = (
-            v2.groupby(g["user_id"].to_numpy(), sort=False)
+            pd.Series(v2)
+            .groupby(uid, sort=False)
             .rolling(window, min_periods=1)
             .max()
             .reset_index(drop=True)

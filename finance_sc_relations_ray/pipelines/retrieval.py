@@ -119,14 +119,17 @@ def _bm25_scores(
     return score
 
 
-def _check_exactness_bound(total_t: int) -> None:
+def _check_exactness_bound(total_t: int, n_docs: int) -> None:
     # every int entering a CAST AS DOUBLE must be ≤ 2^53 (see module
-    # docstring; tf ≤ dl ≤ total_t)
-    if _C_TF * total_t * total_t > 2**53:
+    # docstring). Worst cases over tf ≤ dl ≤ T: numerator 22·T·T,
+    # denominator 10·T·T + 3·T + 9·T·N (N is not bounded by T — empty
+    # docs — so it enters separately).
+    t, n = total_t, n_docs
+    if max(_C_NUM * t * t, _C_TF * t * t + _C_T * t + _C_DLN * t * n) > 2**53:
         raise ValueError(
             "bm25 exactness bound exceeded: shard token count "
-            f"{total_t} too large — shard the corpus (10·tf·T must "
-            "stay ≤ 2^53)"
+            f"{t} (n_docs {n}) too large — shard the corpus (both "
+            "score operands must stay ≤ 2^53)"
         )
 
 
@@ -166,7 +169,7 @@ def bm25_search(
         [int(partials[f"df_{j + 1}"].sum()) for j in range(nq)],
         dtype=np.int64,
     )
-    _check_exactness_bound(total_t)
+    _check_exactness_bound(total_t, n_docs)
 
     # ---- pass B: rederive per-doc tf/dl, score, batch-local top-k
     def score_topk(batch: pa.Table) -> pa.Table:
@@ -215,11 +218,15 @@ def build_bm25_index(sf_dir: str, out_dir: str | None = None) -> str:
 
     from .graph import inverted_index
 
-    # cache key includes the source size so a changed corpus under the
-    # same sf name never reuses a stale index (pages-fixture pattern)
+    # cache key includes the source size AND mtime so a changed corpus
+    # under the same sf name never reuses a stale index (same-size
+    # rewrites still bump mtime; callers passing an explicit out_dir
+    # own invalidation themselves)
     src = os.path.join(sf_dir, "documents.parquet")
     tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + (
-        f"-{os.path.getsize(src)}" if os.path.exists(src) else ""
+        f"-{os.path.getsize(src)}-{int(os.path.getmtime(src))}"
+        if os.path.exists(src)
+        else ""
     )
     out_dir = out_dir or f"/tmp/fscr_bm25_index/{tag}"
     if os.path.isdir(out_dir) and os.path.exists(
@@ -300,7 +307,7 @@ def bm25_search_indexed(
     st = pq.read_table(os.path.join(idx, "stats.parquet"))
     n_docs = int(st["n_docs"][0].as_py())
     total_t = int(st["total_tokens"][0].as_py())
-    _check_exactness_bound(total_t)
+    _check_exactness_bound(total_t, n_docs)
 
     # idf scalars: column-pruned (term, df) read, summed across shards
     df_tbl = (
@@ -317,7 +324,13 @@ def bm25_search_indexed(
         [int(df_tbl.get(t, 0)) for t in terms], dtype=np.int64
     )
 
-    term_idx = {t: j for j, t in enumerate(terms)}
+    # a duplicated query term contributes once to the index rows but
+    # TWICE to the score (matching the scan path and the oracle, where
+    # each position gets its own tf_j column): explode only the FIRST
+    # position of each distinct term, and let score_group copy tf to
+    # the duplicate positions
+    first_pos: dict[str, int] = {}
+    canon = [first_pos.setdefault(t, j) for j, t in enumerate(terms)]
 
     def explode(batch: pa.Table) -> pa.Table:
         ids_out: list[np.ndarray] = []
@@ -332,7 +345,7 @@ def bm25_search_indexed(
             tfv = np.array(tfs.split(","), dtype=np.int64)
             ids_out.append(ids)
             tfs_out.append(tfv)
-            js_out.append(np.full(len(ids), term_idx[t], np.int64))
+            js_out.append(np.full(len(ids), first_pos[t], np.int64))
         if not ids_out:
             return _EXPLODED_SCHEMA.empty_table()
         return pa.table(
@@ -343,14 +356,36 @@ def bm25_search_indexed(
             }
         )
 
-    exploded = sized_read_parquet(
-        os.path.join(idx, "postings"),
-        columns=["term", "postings", "tfs"],
-        filter=pads.field("term").isin(terms),
-    ).map_batches(explode, batch_format="pyarrow")
+    def exploded_ds():
+        return sized_read_parquet(
+            os.path.join(idx, "postings"),
+            columns=["term", "postings", "tfs"],
+            filter=pads.field("term").isin(terms),
+        ).map_batches(explode, batch_format="pyarrow")
 
-    norms_ds = sized_read_parquet(
-        os.path.join(idx, "norms"), columns=["doc_id", "dl"]
+    exploded = exploded_ds()
+
+    # norms are corpus-cardinality: read ONLY the rows the candidate
+    # docs need through the shared candidate funnel (isin pushdown
+    # below the 100k gate, Bloom semi-join above — any Bloom false
+    # positives are dropped by the INNER bucket join). The id stream
+    # is rederived from the postings read (cheap, bounded by Σdf),
+    # mirroring the minhash verify funnel.
+    from ..sources.io import candidate_filtered_read
+
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": pa.array(u, pa.int64())})
+
+    ids_ds = exploded_ds().map_batches(batch_ids, batch_format="pyarrow")
+    n_need = int(ids_ds.count())  # distributed; per-batch-unique
+    # overcount only makes the funnel more conservative
+    norms_ds = candidate_filtered_read(
+        os.path.join(idx, "norms"),
+        key="doc_id",
+        columns=["doc_id", "dl"],
+        ids_ds=ids_ds,
+        n_need=max(n_need, 1),
     )
     joined = bucket_lookup_join(
         exploded,
@@ -384,8 +419,8 @@ def bm25_search_indexed(
         dl = piv["dl"].to_numpy(np.int64)
         tf = np.zeros((nq, len(piv)), dtype=np.int64)
         for j in range(nq):
-            if j in piv.columns:
-                tf[j] = piv[j].to_numpy(np.int64)
+            if canon[j] in piv.columns:  # duplicates copy the canonical
+                tf[j] = piv[canon[j]].to_numpy(np.int64)
         score = _bm25_scores(tf, dl, n_docs, total_t, df)
         out = pd.DataFrame({"doc_id": doc_ids, "dl": dl})
         for j in range(nq):

@@ -184,3 +184,28 @@ def test_bm25_index_build_is_cached_and_atomic(tmp_path):
     build_bm25_index(sf, out_dir=out)
     assert os.path.exists(stats)
     shutil.rmtree(out)
+
+
+def test_bm25_duplicate_query_terms_pair_exact(tmp_path):
+    # a duplicated term doubles its contribution in the scan path and
+    # the SQL oracle; the indexed path must agree (regression: the
+    # first cut kept only the LAST position's index and zeroed tf_1)
+    from finance_sc_relations_ray.pipelines.retrieval import (
+        bm25_search_indexed,
+        build_bm25_index,
+    )
+
+    texts = [
+        "query query query padding",
+        "query other words here",
+        "nothing relevant",
+        "query vector query stream",
+    ]
+    sf = _mini_corpus(tmp_path, texts)
+    idx = build_bm25_index(sf, out_dir=str(tmp_path / "idxdup"))
+    q = ("query", "query")
+    a = bm25_search(sf, query=q, k=4)
+    b = bm25_search_indexed(sf, query=q, k=4, index_dir=idx)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["tf_1"] == a["tf_2"]).all()
+    assert a["tf_1"].iloc[0] > 0
