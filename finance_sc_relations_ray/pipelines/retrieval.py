@@ -278,6 +278,184 @@ def build_bm25_index(sf_dir: str, out_dir: str | None = None) -> str:
     return out_dir
 
 
+def update_bm25_index(
+    index_dir: str,
+    delta_sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+) -> str:
+    """Merge a DELTA corpus into a persisted index — the incremental
+    ingest shape (the reference's overwrite-partition semantics, S10,
+    applied to the retrieval artifact; Lucene calls this a segment
+    merge). The result is byte-equal in CONTENT to rebuilding from the
+    concatenated corpus (pytest-enforced: merged index rows and search
+    results match a from-scratch build row-for-row).
+
+    Distributed plan: the delta postings are built by the normal
+    sharded-index path over the delta docs only; base ∪ delta then
+    merge per (term, shard) through ONE exchange over index rows
+    (vocab × shards — never corpus-sized; a term's two posting strings
+    merge by doc_id, each already sorted). Norms union is a pure
+    write-through; stats add. Duplicate doc_ids between base and delta
+    are detected by a candidate-funnel scan of the base norms
+    restricted to the delta ids (bounded by the DELTA size) and raise
+    — re-crawled urls must be deduplicated upstream, silently merging
+    them would double-count tf.
+    """
+    import pyarrow.dataset as _pads  # noqa: F401 (filter exprs below)
+    import pyarrow.parquet as pq
+
+    from ..sources.io import candidate_filtered_read
+    from .graph import inverted_index
+
+    delta_docs = _read_docs(delta_sf_dir)
+
+    # ---- duplicate-id guard (bounded by delta size)
+    def just_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"]})
+
+    ids_ds = delta_docs.map_batches(just_ids, batch_format="pyarrow")
+    n_delta = int(ids_ds.count())
+    dup = candidate_filtered_read(
+        os.path.join(index_dir, "norms"),
+        key="doc_id",
+        columns=["doc_id"],
+        ids_ds=ids_ds,
+        n_need=max(n_delta, 1),
+    )
+    n_dup = int(dup.count())
+    if n_dup:
+        raise ValueError(
+            f"update_bm25_index: {n_dup} delta doc_ids already exist in "
+            "the base index — dedup the delta upstream (merging would "
+            "double-count term frequencies)"
+        )
+
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    # ---- delta postings via the normal index path, then merge
+    delta_post_dir = os.path.join(tmp, "_delta_postings")
+    inverted_index(delta_sf_dir, n_shards=n_shards).write_parquet(
+        delta_post_dir
+    )
+
+    base_post = sized_read_parquet(
+        os.path.join(index_dir, "postings"),
+        columns=["term", "shard", "df", "postings", "tfs"],
+    )
+    delta_post = sized_read_parquet(
+        delta_post_dir, columns=["term", "shard", "df", "postings", "tfs"]
+    )
+
+    n_coarse = 64
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch["term"].to_pandas(), index=False
+        ).to_numpy()
+        b = (
+            (h % np.uint64(n_coarse)).astype(np.int64)
+            + batch["shard"].to_numpy(zero_copy_only=False)
+        ) % n_coarse
+        return batch.append_column(
+            "__b", pa.array(b.astype(np.int32), pa.int32())
+        )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        df_ = g.select(["term", "shard", "df", "postings", "tfs"]).to_pandas()
+        out_rows = {
+            "term": [],
+            "shard": [],
+            "df": [],
+            "postings": [],
+            "tfs": [],
+        }
+        for (term, shard), rows in df_.groupby(["term", "shard"], sort=False):
+            if len(rows) == 1:
+                r = rows.iloc[0]
+                ids_s, tfs_s, dfv = r["postings"], r["tfs"], int(r["df"])
+            else:
+                ids = np.concatenate(
+                    [
+                        np.array(p.split(","), dtype=np.int64)
+                        for p in rows["postings"]
+                    ]
+                )
+                tfv = np.concatenate(
+                    [np.array(t.split(","), dtype=np.int64) for t in rows["tfs"]]
+                )
+                order = np.argsort(ids, kind="mergesort")
+                ids, tfv = ids[order], tfv[order]
+                ids_s = ",".join(map(str, ids))
+                tfs_s = ",".join(map(str, tfv))
+                dfv = len(ids)
+            out_rows["term"].append(term)
+            out_rows["shard"].append(int(shard))
+            out_rows["df"].append(dfv)
+            out_rows["postings"].append(ids_s)
+            out_rows["tfs"].append(tfs_s)
+        return pa.table(
+            {
+                "term": pa.array(out_rows["term"], pa.string()),
+                "shard": pa.array(out_rows["shard"], pa.int64()),
+                "df": pa.array(out_rows["df"], pa.int64()),
+                "postings": pa.array(out_rows["postings"], pa.string()),
+                "tfs": pa.array(out_rows["tfs"], pa.string()),
+            }
+        )
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    (
+        base_post.union(delta_post)
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(
+            merge_group, batch_format="pyarrow", num_cpus=NO_FUSE_NUM_CPUS
+        )
+        .write_parquet(os.path.join(tmp, "postings"))
+    )
+    shutil.rmtree(delta_post_dir, ignore_errors=True)
+
+    # ---- norms union: base copies through, delta appends
+    def norms(batch: pa.Table) -> pa.Table:
+        _, counts = textops.tokens_lower_batch(batch["text"].to_pylist())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "dl": pa.array(counts, pa.int64())}
+        )
+
+    delta_norms = delta_docs.map_batches(norms, batch_format="pyarrow")
+    base_norms = sized_read_parquet(
+        os.path.join(index_dir, "norms"), columns=["doc_id", "dl"]
+    )
+    base_norms.union(delta_norms).write_parquet(os.path.join(tmp, "norms"))
+
+    # ---- stats add: base scalars + distributed delta sums
+    st = pq.read_table(os.path.join(index_dir, "stats.parquet"))
+    delta_total = int(delta_norms.sum("dl") or 0)
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array(
+                    [int(st["n_docs"][0].as_py()) + n_delta], pa.int64()
+                ),
+                "total_tokens": pa.array(
+                    [int(st["total_tokens"][0].as_py()) + delta_total],
+                    pa.int64(),
+                ),
+            }
+        ),
+        os.path.join(tmp, "stats.parquet"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
 def bm25_search_indexed(
     sf_dir: str,
     query: tuple[str, ...] = DEFAULT_QUERY,

@@ -209,3 +209,89 @@ def test_bm25_duplicate_query_terms_pair_exact(tmp_path):
     pd.testing.assert_frame_equal(a, b)
     assert (a["tf_1"] == a["tf_2"]).all()
     assert a["tf_1"].iloc[0] > 0
+
+
+def test_update_bm25_index_equals_rebuild(tmp_path):
+    from finance_sc_relations_ray.pipelines.retrieval import (
+        bm25_search_indexed,
+        build_bm25_index,
+        update_bm25_index,
+    )
+
+    base_texts = [
+        "query vector stream alpha",
+        "vector beta gamma",
+        "plain filler words",
+    ]
+    delta_texts = ["query query delta stream", "epsilon vector"]
+
+    def corpus(name, texts, start_id):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(start_id, start_id + len(texts)), pa.int64()
+                    ),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        return str(d)
+
+    base = corpus("base", base_texts, 0)
+    delta = corpus("delta", delta_texts, len(base_texts))
+    full = corpus("full", base_texts + delta_texts, 0)
+
+    base_idx = build_bm25_index(base, out_dir=str(tmp_path / "base_idx"))
+    merged = update_bm25_index(
+        base_idx, delta, out_dir=str(tmp_path / "merged_idx")
+    )
+    rebuilt = build_bm25_index(full, out_dir=str(tmp_path / "full_idx"))
+
+    def read_sorted(idx, sub):
+        return (
+            pq.read_table(os.path.join(idx, sub))
+            .to_pandas()
+            .sort_values(["term", "shard"] if sub == "postings" else ["doc_id"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(
+        read_sorted(merged, "postings"), read_sorted(rebuilt, "postings")
+    )
+    pd.testing.assert_frame_equal(
+        read_sorted(merged, "norms"), read_sorted(rebuilt, "norms")
+    )
+    assert pq.read_table(os.path.join(merged, "stats.parquet")).equals(
+        pq.read_table(os.path.join(rebuilt, "stats.parquet"))
+    )
+    # serving results identical through either index
+    a = bm25_search_indexed(full, index_dir=merged)
+    b = bm25_search_indexed(full, index_dir=rebuilt)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_update_bm25_index_rejects_duplicate_ids(tmp_path):
+    from finance_sc_relations_ray.pipelines.retrieval import (
+        build_bm25_index,
+        update_bm25_index,
+    )
+
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["query one", "two"], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    idx = build_bm25_index(str(d), out_dir=str(tmp_path / "i"))
+    with pytest.raises(ValueError, match="already exist"):
+        update_bm25_index(idx, str(d), out_dir=str(tmp_path / "i2"))
