@@ -226,7 +226,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance": T.dsir_importance_documents,
         # training-data prep operators
         "segment_class_weights": M.segment_class_weights,
-        "token_length_quantiles": M.token_length_quantiles,
         # fixed-bin histogram quantile sketch (approximate for the true
         # quantile, but deterministic — the SQL oracle replays the
         # sketch bit-exactly)
@@ -259,6 +258,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-domain crawl stats over the synthesized pages: engine
         # parses urls, oracle replays the synthesis formula (web.py)
         "domain_stats": lambda sf_dir: W.domain_stats(_pages(sf_dir)),
+        # url-canonicalization dedup over VARIANT-PLANTED pages (messy
+        # recrawl urls derived 1:1 from doc_id): the engine
+        # canonicalizes and merges, the oracle replays the planting
+        # formula — a mis-canonicalized url splits its group and
+        # hash-mismatches. In-window per the freshly-touched-code rule;
+        # token_length_quantiles rotates past the cap (its
+        # histogram-quantile mechanism has two in-window cousins:
+        # value_quantile_sketch and length_quantile_filter)
+        "url_dedup_pages": lambda sf_dir: W.url_dedup_pages(
+            W.pages_with_url_variants_parquet_for(sf_dir)
+        ),
         # ---------------- driver-cap boundary (entry #50) ----------------
         # exiled stable SQL twins (still DuckDB-checked in pytest).
         # r4 rotation: customers_without_orders (0-row anti-join —
@@ -289,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-enforced), reading the persisted postings/norms index
         # instead of scanning the corpus
         "bm25_search_indexed": RT.bm25_search_indexed,
+        "token_length_quantiles": M.token_length_quantiles,
         "token_counts": T.token_counts,
         "events_user_cumsum": R.events_user_cumsum,
         "embedding_dup_pairs": M.embedding_dup_pairs,
@@ -356,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
     from finance_sc_relations_ray.pipelines.text import _minhash_params
     from finance_sc_relations_ray.pipelines.web import (
         DOMAIN_STATS_ORACLE as _DOMAIN_STATS_ORACLE,
+        URL_DEDUP_ORACLE as _URL_DEDUP_ORACLE,
     )
 
     mh_a, mh_b = _minhash_params(64)
@@ -1126,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         # the deterministic synthesis formula from documents
         # (sources/pages.py:123-124)
         "domain_stats": _DOMAIN_STATS_ORACLE,
+        "url_dedup_pages": _URL_DEDUP_ORACLE,
         # Full MinHash+LSH+verify mirror: identical md5-64 shingle
         # hashes, the engine's exact (a*h+b) uint64-WRAP-then-Mersenne
         # permutation arithmetic (constants embedded above), md5-64

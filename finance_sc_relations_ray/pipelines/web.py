@@ -86,3 +86,227 @@ DOMAIN_STATS_ORACLE = """
     FROM documents
     GROUP BY 1
 """
+
+
+# ------------------------------------------------ URL-canonical dedup ----
+# Canonicalization policy (each rule is an explicit dedup decision — the
+# standard Common-Crawl snapshot-dedup normalizations; cf. the
+# reference's own key normalizer stripping case/punct/"the" before the
+# prefix lookup, /root/reference/src/relation_extraction/reporter.py:121-164):
+#   1. scheme folded to https  (http/https crawls of a page are one page)
+#   2. host lowercased, leading "www." stripped, default :80/:443 ports
+#      stripped (other ports kept — they address different servers)
+#   3. fragment dropped (never sent to the server)
+#   4. tracking query params dropped (utm_*, fbclid, gclid, ref);
+#      all other params kept in original order — sorting params is NOT
+#      done (order can be semantic); an emptied query drops its "?"
+#   5. trailing slashes stripped from the path ("/page/3/" == "/page/3";
+#      a bare "/" path folds into the origin)
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_NAMES = frozenset({"fbclid", "gclid", "ref"})
+
+_URL_PARTS_RE = r"^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def _filter_query(q: str) -> str:
+    kept = []
+    for p in q.split("&"):
+        if not p:
+            continue
+        name = p.split("=", 1)[0].lower()
+        if name in _TRACKING_NAMES or name.startswith(_TRACKING_PREFIXES):
+            continue
+        kept.append(p)
+    return "&".join(kept)
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized URL canonicalizer implementing the policy above.
+    Raises on unparseable urls (data validation — a crawl row whose url
+    does not parse must not silently become its own dedup group).
+
+    Hot-path shape: one regex extract + vectorized lower/replace for
+    the host/path rules; the query-param filter is a Python map over
+    ONLY the query-bearing rows (rare in canonical crawl corpora — the
+    synthesized pages have none except planted variants)."""
+    s = urls.astype(str)
+    ex = s.str.extract(_URL_PARTS_RE)
+    if ex[0].isna().any():
+        bad = s[ex[0].isna()].iloc[0]
+        raise ValueError(f"unparseable url: {bad!r}")
+    host = (
+        ex[1].str.lower()
+        .str.replace(r"^www\.", "", regex=True)
+        .str.replace(r":(80|443)$", "", regex=True)
+    )
+    path = ex[2].str.replace(r"/+$", "", regex=True)
+    out = "https://" + host + path
+    q = ex[3]
+    has_q = q.notna() & (q != "")
+    if has_q.any():
+        fq = q[has_q].map(_filter_query)
+        keep = fq != ""
+        out.loc[has_q] = out.loc[has_q].where(~keep, out.loc[has_q] + "?" + fq)
+    return out
+
+
+def url_dedup_pages(pages_path: str) -> "object":
+    """Per-canonical-url crawl dedup stats: how many raw crawl rows
+    collapse into each canonical url and the LATEST crawl timestamp —
+    the Common-Crawl "keep newest snapshot per page" aggregate.
+    Columns: url (canonical), n_dups, last_ts.
+
+    Distributed plan (the dedup_exact_ds combiner shape): map-only
+    canonicalize + per-batch (url → count, max ts) partials, then ONE
+    groupby(url) folding Sum/Max — only one row per (batch, url) ever
+    crosses the exchange, bounded regardless of how many snapshots of
+    a hot page exist. The winner-ROW variant (who needs the latest
+    text, not just its timestamp) is :func:`url_keep_latest_pages_ds`.
+    """
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "url": canonicalize_urls(batch["url"].to_pandas()),
+                "warc_ts": batch["warc_ts"].to_pandas(),
+            }
+        )
+        g = df.groupby("url", as_index=False, sort=False).agg(
+            n_dups=("warc_ts", "size"), last_ts=("warc_ts", "max")
+        )
+        g["n_dups"] = g["n_dups"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(
+            Sum("n_dups", alias_name="n_dups"),
+            Max("last_ts", alias_name="last_ts"),
+        )
+    )
+
+
+def url_keep_latest_pages_ds(
+    pages_path: str, num_buckets: int = 64
+) -> "object":
+    """URL-canonical dedup, winner-ROW form: ONE page row per canonical
+    url — the latest crawl (max warc_ts; ties break to the
+    lexicographically-largest RAW url, a pure-function tiebreak so the
+    result is independent of partitioning). Columns: url (canonical),
+    warc_ts, text.
+
+    Plan (the salted_dedup two-phase shape, stages/shuffle.py): each
+    batch keeps its LOCAL winner per canonical url (vectorized
+    sort + drop_duplicates), the exchange moves one row per
+    (batch, url), and the final merge groups by a COARSE
+    hash(url) % num_buckets bucket — per-group overhead paid per
+    bucket, not per url — re-applying the same winner rule (it is
+    associative, so local-then-global equals one global pass)."""
+    import ray.data
+
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts", "text"])
+
+    def local_win(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.rename(columns={"url": "raw_url"})
+        batch["url"] = canonicalize_urls(batch["raw_url"])
+        batch = batch.sort_values(
+            ["url", "warc_ts", "raw_url"], ascending=[True, False, False]
+        ).drop_duplicates("url")
+        hb = (
+            pd.util.hash_pandas_object(batch["url"], index=False).to_numpy()
+            % num_buckets
+        ).astype(np.int32)
+        batch = batch[["url", "raw_url", "warc_ts", "text"]].copy()
+        batch["__dbucket"] = hb
+        return batch
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(
+                ["url", "warc_ts", "raw_url"], ascending=[True, False, False]
+            )
+            .drop_duplicates("url")
+            .drop(columns=["__dbucket", "raw_url"])
+            .reset_index(drop=True)
+        )
+
+    return (
+        ds.map_batches(local_win, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(merge, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS)
+    )
+
+
+def pages_with_url_variants_parquet_for(sf_dir: str) -> str:
+    """Variant-planted pages table (cached): the synthesized pages plus
+    DETERMINISTIC messy-url recrawl rows, so the url-dedup oracle gets
+    real merge signal instead of an all-singletons no-op. Derived 1:1
+    from doc_id, hence SQL-replayable (see URL_DEDUP_ORACLE):
+
+    - doc_id % 10 == 0 → a LATER recrawl (+86400 s) under
+      ``http://WWW.example{N}.com:80/page/{id}?utm_source=feed&fbclid=1#top``
+      (exercises scheme fold, www/port strip, tracking-param and
+      fragment drop); its text carries a " (recrawl)" suffix so winner
+      selection is observable.
+    - doc_id % 10 == 5 → an EARLIER crawl (−600 s) under
+      ``https://example{N}.com/page/{id}/?ref=rss`` (trailing slash +
+      tracking-only query); text carries " (stale crawl)" — the
+      ORIGINAL row must win.
+    """
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..sources.pages import pages_parquet_for
+
+    base_path = pages_parquet_for(sf_dir)
+    out_dir = os.path.normpath(base_path) + "-urlvar"
+    marker = os.path.join(out_dir, "pages.parquet")
+    if os.path.isfile(marker):
+        return marker
+    t = pads.dataset(base_path).to_table()
+    df = t.to_pandas()
+    parsed = df["url"].str.extract(_URL_RE)
+    dom = parsed[0]
+    doc_id = parsed[1].astype(np.int64)
+    late = df[(doc_id % 10 == 0).to_numpy()].copy()
+    late_dom = dom[(doc_id % 10 == 0).to_numpy()]
+    late_ids = doc_id[(doc_id % 10 == 0).to_numpy()]
+    late["url"] = (
+        "http://WWW." + late_dom + ":80/page/" + late_ids.astype(str)
+        + "?utm_source=feed&fbclid=1#top"
+    )
+    late["warc_ts"] = late["warc_ts"] + pd.Timedelta(seconds=86400)
+    late["text"] = late["text"] + " (recrawl)"
+    early = df[(doc_id % 10 == 5).to_numpy()].copy()
+    early["url"] = early["url"] + "/?ref=rss"
+    early["warc_ts"] = early["warc_ts"] - pd.Timedelta(seconds=600)
+    early["text"] = early["text"] + " (stale crawl)"
+    allrows = pd.concat([df, late, early], ignore_index=True)
+    out = pa.Table.from_pandas(allrows, preserve_index=False).cast(t.schema)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    import pyarrow.parquet as pq
+
+    pq.write_table(out, tmp, row_group_size=1024)
+    os.replace(tmp, marker)
+    return marker
+
+
+URL_DEDUP_ORACLE = """
+    SELECT 'https://example' || CAST(doc_id % 127 AS VARCHAR)
+               || '.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+           (CASE WHEN doc_id % 10 IN (0, 5) THEN 2 ELSE 1 END)::BIGINT
+               AS n_dups,
+           TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND
+               + (CASE WHEN doc_id % 10 = 0 THEN 86400 ELSE 0 END)
+                 * INTERVAL 1 SECOND AS last_ts
+    FROM documents
+"""

@@ -295,3 +295,131 @@ def test_update_bm25_index_rejects_duplicate_ids(tmp_path):
     idx = build_bm25_index(str(d), out_dir=str(tmp_path / "i"))
     with pytest.raises(ValueError, match="already exist"):
         update_bm25_index(idx, str(d), out_dir=str(tmp_path / "i2"))
+
+
+# ------------------------------------------------ url-canonical dedup ---
+
+
+def test_canonicalize_urls_policy():
+    from finance_sc_relations_ray.pipelines.web import canonicalize_urls
+
+    raw = pd.Series(
+        [
+            "http://WWW.Example5.COM:80/page/3?utm_source=x&fbclid=1#top",
+            "https://example5.com:443/page/3/",
+            "https://example5.com/page/3?a=1&utm_medium=m&b=2",
+            "https://example5.com/page/3?ref=rss",
+            "http://example5.com:8080/page/3",
+            "https://example5.com/",
+        ]
+    )
+    assert canonicalize_urls(raw).tolist() == [
+        "https://example5.com/page/3",
+        "https://example5.com/page/3",
+        "https://example5.com/page/3?a=1&b=2",  # param order preserved
+        "https://example5.com/page/3",
+        "https://example5.com:8080/page/3",  # non-default port kept
+        "https://example5.com",
+    ]
+
+
+def test_canonicalize_urls_unparseable_raises():
+    from finance_sc_relations_ray.pipelines.web import canonicalize_urls
+
+    with pytest.raises(ValueError, match="unparseable url"):
+        canonicalize_urls(pd.Series(["ftp://x.com/a"]))
+
+
+def _write_pages(path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")
+                ),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(path),
+    )
+
+
+def test_url_dedup_merges_across_files(tmp_path):
+    """Snapshots of one page split across parquet FILES (hence read
+    blocks) must still merge: the combiner exchange is what's under
+    test, not the per-batch groupby."""
+    from finance_sc_relations_ray.pipelines.web import url_dedup_pages
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_pages(
+        d / "a.parquet",
+        [("https://a.com/x", "2024-01-01", "old"),
+         ("https://b.com/y", "2024-01-02", "only")],
+    )
+    _write_pages(
+        d / "b.parquet",
+        [("http://WWW.a.com:80/x?utm_source=f#s", "2024-01-03", "new")],
+    )
+    out = (
+        url_dedup_pages(str(d))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out["url"].tolist() == ["https://a.com/x", "https://b.com/y"]
+    assert out["n_dups"].tolist() == [2, 1]
+    assert pd.Timestamp(out["last_ts"][0]) == pd.Timestamp("2024-01-03")
+
+
+def test_url_keep_latest_winner_rows(tmp_path):
+    from finance_sc_relations_ray.pipelines.web import (
+        url_keep_latest_pages_ds,
+    )
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    # page A: later snapshot wins; page C: ts TIE -> lexicographically
+    # larger RAW url wins (the https:// raw beats the http://WWW. raw)
+    _write_pages(
+        d / "a.parquet",
+        [("https://a.com/x", "2024-01-01", "a-old"),
+         ("https://c.com/x?a=1", "2024-01-05", "c-https")],
+    )
+    _write_pages(
+        d / "b.parquet",
+        [("http://WWW.a.com:80/x?utm_source=f", "2024-01-03", "a-new"),
+         ("http://WWW.c.com:80/x?a=1&utm_source=t", "2024-01-05",
+          "c-http-www")],
+    )
+    out = (
+        url_keep_latest_pages_ds(str(d))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out["url"].tolist() == ["https://a.com/x", "https://c.com/x?a=1"]
+    assert out["text"].tolist() == ["a-new", "c-https"]
+    assert pd.Timestamp(out["warc_ts"][0]) == pd.Timestamp("2024-01-03")
+
+
+def test_url_dedup_variant_planting_end_to_end():
+    """The driver-gated path: variant-planted pages at sf0.001 — every
+    doc_id % 10 in (0, 5) group merges to n_dups=2, and keep-latest
+    picks the recrawl text for %10==0 but the ORIGINAL for %10==5."""
+    from finance_sc_relations_ray.pipelines.web import (
+        pages_with_url_variants_parquet_for,
+        url_dedup_pages,
+        url_keep_latest_pages_ds,
+    )
+
+    p = pages_with_url_variants_parquet_for(SF)
+    dd = url_dedup_pages(p).to_pandas()
+    ids = dd["url"].str.extract(r"/page/(\d+)$")[0].astype(int)
+    assert (dd["n_dups"] == 1 + (ids % 10).isin([0, 5])).all()
+    kl = url_keep_latest_pages_ds(p).to_pandas()
+    kids = kl["url"].str.extract(r"/page/(\d+)$")[0].astype(int)
+    assert len(kl) == len(dd)
+    assert (kl["text"].str.endswith(" (recrawl)") == (kids % 10 == 0)).all()
+    assert not kl["text"].str.endswith(" (stale crawl)").any()
