@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     # r4: per-domain crawl stats over the synthesized pages (url parse
     # + combiner partials + one host-cardinality groupby)
     "domain_stats",
+    # r4: url-canonicalization dedup over variant-planted pages (map
+    # canonicalize + one row per (batch, url) across the Sum/Max fold)
+    "url_dedup_pages",
     # r4: bounded ROWS-window rolling aggregate (one user-bucket
     # exchange + vectorized cumsum-diff kernels)
     "events_rolling",
