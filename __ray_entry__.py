@@ -299,6 +299,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-enforced), reading the persisted postings/norms index
         # instead of scanning the corpus
         "bm25_search_indexed": RT.bm25_search_indexed,
+        # incremental url-state ingest: the persisted-artifact
+        # result-twin of the in-window url_dedup_pages (same SQL
+        # oracle) — base state + variant-rows delta through the
+        # shard-pruned merge; equality with a from-scratch rebuild is
+        # pytest-enforced
+        "url_state_update": W.url_state_update,
         "token_length_quantiles": M.token_length_quantiles,
         "token_counts": T.token_counts,
         "events_user_cumsum": R.events_user_cumsum,
@@ -1139,6 +1145,9 @@ def oracle_sql() -> dict[str, str]:
         # (sources/pages.py:123-124)
         "domain_stats": _DOMAIN_STATS_ORACLE,
         "url_dedup_pages": _URL_DEDUP_ORACLE,
+        # the incremental path must land on the SAME rows (fold
+        # associativity), so it shares the oracle
+        "url_state_update": _URL_DEDUP_ORACLE,
         # Full MinHash+LSH+verify mirror: identical md5-64 shingle
         # hashes, the engine's exact (a*h+b) uint64-WRAP-then-Mersenne
         # permutation arithmetic (constants embedded above), md5-64

@@ -20,9 +20,12 @@ table is host-cardinality (millions at web scale), never the corpus.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ..sources.io import sized_read_parquet
 
@@ -269,7 +272,8 @@ def pages_with_url_variants_parquet_for(sf_dir: str) -> str:
     base_path = pages_parquet_for(sf_dir)
     out_dir = os.path.normpath(base_path) + "-urlvar"
     marker = os.path.join(out_dir, "pages.parquet")
-    if os.path.isfile(marker):
+    delta_marker = os.path.join(out_dir, "variants.parquet")
+    if os.path.isfile(marker) and os.path.isfile(delta_marker):
         return marker
     t = pads.dataset(base_path).to_table()
     df = t.to_pandas()
@@ -291,13 +295,248 @@ def pages_with_url_variants_parquet_for(sf_dir: str) -> str:
     early["text"] = early["text"] + " (stale crawl)"
     allrows = pd.concat([df, late, early], ignore_index=True)
     out = pa.Table.from_pandas(allrows, preserve_index=False).cast(t.schema)
+    variants = pa.Table.from_pandas(
+        pd.concat([late, early], ignore_index=True), preserve_index=False
+    ).cast(t.schema)
     os.makedirs(out_dir, exist_ok=True)
     tmp = marker + ".tmp"
-    import pyarrow.parquet as pq
-
     pq.write_table(out, tmp, row_group_size=1024)
     os.replace(tmp, marker)
+    # the variant rows ALONE, for the incremental-ingest path (they are
+    # the "new crawl delta" against the base pages)
+    tmp = delta_marker + ".tmp"
+    pq.write_table(variants, tmp, row_group_size=1024)
+    os.replace(tmp, delta_marker)
     return marker
+
+
+# -------------------------------------------- incremental url state ----
+# The production shape of url dedup at crawl scale: snapshots arrive
+# incrementally, so the canonical-url state (url → n_dups, last_ts) is
+# a PERSISTED sharded artifact that each new crawl delta merges into —
+# never a whole-corpus re-dedup. Lifecycle mirrors the retrieval
+# artifact (retrieval.build_bm25_index / update_bm25_index), with one
+# deliberate semantic difference: base∩delta url overlap is THE POINT
+# here (a recrawl merges: Sum n_dups, Max last_ts), not an error.
+
+
+def _url_shards(urls: pd.Series, n_shards: int) -> np.ndarray:
+    """Stable PERSISTED shard routing: md5 of the canonical url (the
+    repo's exact-dedup key hash, functions/textops.fingerprint — NOT
+    pd.util.hash_pandas_object, whose stability contract is
+    within-job). Per-row hashing is the same cost class as the
+    exact-dedup partial that feeds it."""
+    from ..functions import textops
+
+    return np.fromiter(
+        (int(textops.fingerprint(u)[:8], 16) % n_shards for u in urls),
+        dtype=np.int64,
+        count=len(urls),
+    )
+
+
+def _url_state_partials(pages_path: str, n_shards: int) -> "object":
+    """pages → per-batch (url, n_dups, last_ts, shard) combiner rows."""
+    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "url": canonicalize_urls(batch["url"].to_pandas()),
+                "warc_ts": batch["warc_ts"].to_pandas(),
+            }
+        )
+        g = df.groupby("url", as_index=False, sort=False).agg(
+            n_dups=("warc_ts", "size"), last_ts=("warc_ts", "max")
+        )
+        g["n_dups"] = g["n_dups"].astype(np.int64)
+        g["shard"] = _url_shards(g["url"], n_shards)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _fold_state(ds: "object") -> "object":
+    """(url, n_dups, last_ts, shard) rows → one folded row per url,
+    grouped by shard (per-group overhead paid per shard, the merge
+    inside is one vectorized pandas aggregation)."""
+    from ..stages.joins import NO_FUSE_NUM_CPUS
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["shard", "url"], as_index=False, sort=False).agg(
+            n_dups=("n_dups", "sum"), last_ts=("last_ts", "max")
+        )
+        out["n_dups"] = out["n_dups"].astype(np.int64)
+        return out[["url", "n_dups", "last_ts", "shard"]]
+
+    return ds.groupby("shard").map_groups(
+        fold, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+    )
+
+
+def build_url_state(
+    pages_path: str, out_dir: str, n_shards: int = 16
+) -> str:
+    """Persist the canonical-url dedup state: hive-partitioned parquet
+    ``shard=<k>/`` dirs (one folded row per canonical url) plus a
+    one-row ``_meta.parquet`` recording n_shards. Distributed
+    ``write_parquet``; atomic tmp+rename so a killed build never
+    leaves a half-state a later merge would trust."""
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _fold_state(_url_state_partials(pages_path, n_shards)).write_parquet(
+        tmp, partition_cols=["shard"]
+    )
+    pq.write_table(
+        pa.table({"n_shards": pa.array([n_shards], pa.int64())}),
+        os.path.join(tmp, "_meta.parquet"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def update_url_state(
+    state_dir: str, delta_pages_path: str, out_dir: str
+) -> str:
+    """Merge a DELTA crawl into a persisted url state — incremental
+    ingest with a SHARD-PRUNED merge: shards the delta does not touch
+    are carried forward at FILE level (copy, no read, no shuffle, no
+    decode); only touched shards pay a read + fold. At crawl scale a
+    daily delta touches a bounded url set, so the merge cost scales
+    with the DELTA (plus its shards' state rows), not the corpus.
+
+    Result is row-identical to rebuilding from the concatenated crawls
+    (pytest-enforced): the fold (Sum n_dups, Max last_ts per url) is
+    associative and commutative, so state ∪ delta-partials folds to
+    the same rows as one global pass. Overlapping urls between base
+    and delta MERGE (that is the operator's purpose — recrawls bump
+    n_dups and advance last_ts); contrast update_bm25_index, where
+    overlap raises."""
+    import shutil
+
+    import ray.data
+
+    meta = pq.read_table(os.path.join(state_dir, "_meta.parquet"))
+    n_shards = int(meta["n_shards"][0].as_py())
+
+    # delta partials, materialized (delta-bounded) — consumed twice:
+    # the touched-shard probe and the merge union
+    delta = _url_state_partials(delta_pages_path, n_shards).materialize()
+    touched = sorted(
+        delta.groupby("shard")
+        .count()
+        .to_pandas()["shard"]
+        .astype(int)
+        .tolist()
+    )
+    touched_set = set(touched)
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    # untouched shards: file-level carry-forward (never read)
+    for name in os.listdir(state_dir):
+        if not name.startswith("shard="):
+            continue
+        k = int(name.split("=", 1)[1])
+        if k not in touched_set:
+            shutil.copytree(
+                os.path.join(state_dir, name), os.path.join(tmp, name)
+            )
+
+    # touched shards: path-pruned read of ONLY those shard dirs, union
+    # with the delta partials, re-fold, write back as shard=<k>/ dirs
+    if touched:
+        # read_parquet takes FILE paths when given a list — expand each
+        # touched shard dir to its parquet files
+        base_paths = [
+            os.path.join(state_dir, f"shard={k}", f)
+            for k in touched
+            if os.path.isdir(os.path.join(state_dir, f"shard={k}"))
+            for f in sorted(os.listdir(os.path.join(state_dir, f"shard={k}")))
+            if f.endswith(".parquet")
+        ]
+        parts = delta
+        if base_paths:
+            base = ray.data.read_parquet(
+                base_paths, columns=["url", "n_dups", "last_ts"]
+            )
+
+            def reshard(batch: pa.Table) -> pa.Table:
+                urls = batch["url"].to_pandas()
+                return batch.append_column(
+                    "shard",
+                    pa.array(_url_shards(urls, n_shards), pa.int64()),
+                )
+
+            parts = base.map_batches(
+                reshard, batch_format="pyarrow"
+            ).union(delta)
+        _fold_state(parts).write_parquet(tmp, partition_cols=["shard"])
+
+    shutil.copy2(
+        os.path.join(state_dir, "_meta.parquet"),
+        os.path.join(tmp, "_meta.parquet"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def read_url_state(state_dir: str) -> pd.DataFrame:
+    """(url, n_dups, last_ts) rows of a persisted state (all shards),
+    sorted by url — the comparison/reporting shim."""
+    import ray.data
+
+    paths = [
+        os.path.join(state_dir, n, f)
+        for n in sorted(os.listdir(state_dir))
+        if n.startswith("shard=")
+        for f in sorted(os.listdir(os.path.join(state_dir, n)))
+        if f.endswith(".parquet")
+    ]
+    out = ray.data.read_parquet(
+        paths, columns=["url", "n_dups", "last_ts"]
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def url_state_update(sf_dir: str) -> pd.DataFrame:
+    """Driver-gate shim: the INCREMENTAL path's result-twin of
+    :func:`url_dedup_pages` (same SQL oracle — the
+    bm25_search_indexed precedent). Builds the persisted state from
+    the BASE pages (cached like the bm25 index), merges the planted
+    variant rows as a crawl delta through :func:`update_url_state`
+    (shard-pruned: only the delta's shards are read), and reads the
+    merged state back. Row-identical to the one-shot fold over the
+    variant-planted table by the fold's associativity — which the
+    shared oracle then hash-checks."""
+    import shutil
+    import tempfile
+
+    from ..sources.pages import pages_parquet_for
+
+    base = pages_parquet_for(sf_dir)
+    marker = pages_with_url_variants_parquet_for(sf_dir)
+    delta = os.path.join(os.path.dirname(marker), "variants.parquet")
+    # the base pages dir is deterministic and immutable once built (its
+    # cache key embeds sf tag, row count and seed), so a plain suffix
+    # is a sound state cache key
+    state_dir = os.path.normpath(base) + "-urlstate"
+    if not os.path.isfile(os.path.join(state_dir, "_meta.parquet")):
+        build_url_state(base, state_dir)
+    out = tempfile.mkdtemp(prefix="fscr_urlstate_upd_") + "/state"
+    try:
+        update_url_state(state_dir, delta, out)
+        merged = read_url_state(out)
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return merged
 
 
 URL_DEDUP_ORACLE = """

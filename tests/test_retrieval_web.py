@@ -423,3 +423,113 @@ def test_url_dedup_variant_planting_end_to_end():
     assert len(kl) == len(dd)
     assert (kl["text"].str.endswith(" (recrawl)") == (kids % 10 == 0)).all()
     assert not kl["text"].str.endswith(" (stale crawl)").any()
+
+
+# --------------------------------------------- incremental url state ---
+
+
+def test_url_state_update_equals_rebuild(tmp_path):
+    """update(build(base), delta) must be row-identical to
+    build(base ∪ delta) — including a url that RECRAWLS across the
+    base/delta boundary (n_dups sums, last_ts advances)."""
+    from finance_sc_relations_ray.pipelines.web import (
+        build_url_state,
+        read_url_state,
+        update_url_state,
+    )
+
+    base_rows = [
+        ("https://a.com/x", "2024-01-01", "a1"),
+        ("https://b.com/y", "2024-01-02", "b1"),
+        ("http://WWW.a.com:80/x?utm_source=f", "2024-01-03", "a2"),
+    ]
+    delta_rows = [
+        ("https://a.com/x/", "2024-02-01", "a3"),  # recrawl of base url
+        ("https://c.com/z", "2024-02-02", "c1"),  # brand-new url
+    ]
+    b = tmp_path / "base"
+    d = tmp_path / "delta"
+    both = tmp_path / "both"
+    for p, rows in [(b, base_rows), (d, delta_rows),
+                    (both, base_rows + delta_rows)]:
+        p.mkdir()
+        _write_pages(p / "pages.parquet", rows)
+    s_base = build_url_state(str(b / "pages.parquet"),
+                             str(tmp_path / "s_base"), n_shards=4)
+    merged = update_url_state(s_base, str(d / "pages.parquet"),
+                              str(tmp_path / "s_merged"))
+    rebuilt = build_url_state(str(both / "pages.parquet"),
+                              str(tmp_path / "s_rebuilt"), n_shards=4)
+    got, exp = read_url_state(merged), read_url_state(rebuilt)
+    pd.testing.assert_frame_equal(got, exp)
+    a = got[got["url"] == "https://a.com/x"].iloc[0]
+    assert a["n_dups"] == 3
+    assert pd.Timestamp(a["last_ts"]) == pd.Timestamp("2024-02-01")
+
+
+def test_url_state_update_prunes_untouched_shards(tmp_path):
+    """Shards the delta does not touch must carry forward at FILE
+    level: byte-identical files, proving they were copied — never
+    read, re-folded, or re-written."""
+    import os
+
+    from finance_sc_relations_ray.pipelines.web import (
+        _url_shards,
+        build_url_state,
+        update_url_state,
+    )
+
+    n_shards = 8
+    base_rows = [
+        (f"https://h{i}.com/p", "2024-01-01", f"t{i}") for i in range(40)
+    ]
+    b = tmp_path / "base"
+    b.mkdir()
+    _write_pages(b / "pages.parquet", base_rows)
+    s_base = build_url_state(str(b / "pages.parquet"),
+                             str(tmp_path / "s"), n_shards=n_shards)
+    # a delta touching exactly one url (hence one shard)
+    d = tmp_path / "delta"
+    d.mkdir()
+    _write_pages(d / "pages.parquet",
+                 [("https://h0.com/p", "2024-03-01", "re")])
+    touched = int(_url_shards(pd.Series(["https://h0.com/p"]), n_shards)[0])
+    merged = update_url_state(s_base, str(d / "pages.parquet"),
+                              str(tmp_path / "s2"))
+    for k in range(n_shards):
+        bd = os.path.join(s_base, f"shard={k}")
+        md = os.path.join(merged, f"shard={k}")
+        if not os.path.isdir(bd):
+            continue
+        if k == touched:
+            continue
+        assert os.path.isdir(md), k
+        bf = sorted(os.listdir(bd))
+        assert sorted(os.listdir(md)) == bf, k
+        for f in bf:
+            with open(os.path.join(bd, f), "rb") as f1, open(
+                os.path.join(md, f), "rb"
+            ) as f2:
+                assert f1.read() == f2.read(), (k, f)
+
+
+def test_url_state_matches_one_shot_dedup():
+    """State content == url_dedup_pages output on the same input, and
+    the driver's incremental query shim lands on the oracle rows."""
+    from finance_sc_relations_ray.pipelines.web import (
+        pages_with_url_variants_parquet_for,
+        url_dedup_pages,
+        url_state_update,
+    )
+
+    p = pages_with_url_variants_parquet_for(SF)
+    one_shot = (
+        url_dedup_pages(p).to_pandas().sort_values("url")
+        .reset_index(drop=True)
+    )
+    incr = url_state_update(SF)
+    assert incr["url"].tolist() == one_shot["url"].tolist()
+    assert incr["n_dups"].tolist() == one_shot["n_dups"].tolist()
+    assert [pd.Timestamp(t) for t in incr["last_ts"]] == [
+        pd.Timestamp(t) for t in one_shot["last_ts"]
+    ]
