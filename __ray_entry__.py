@@ -46,6 +46,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from finance_sc_relations_ray.pipelines import bpe as B
     from finance_sc_relations_ray.pipelines import graph as G
+    from finance_sc_relations_ray.pipelines import linkgraph as LG
     from finance_sc_relations_ray.pipelines import mlops as M
     from finance_sc_relations_ray.pipelines import relational as R
     from finance_sc_relations_ray.pipelines import retrieval as RT
@@ -174,7 +175,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_supplier_revenue": R.nation_supplier_revenue,
         "above_average_customers": R.above_average_customers,
         "events_hourly": R.events_hourly,
-        "events_sliding": R.events_sliding,
         "top_users_per_event_type": R.top_users_per_event_type,
         "user_sessions": R.user_sessions,
         "events_asof_join": R.events_asof_join,
@@ -186,7 +186,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
         "redact_pii_documents": T.redact_pii_documents,
-        "gopher_quality_documents": T.gopher_quality_documents,
         "repetition_stats_documents": T.repetition_stats_documents,
         "decontaminate_documents": T.decontaminate_documents,
         "sentencize_documents": T.sentencize_documents,
@@ -245,7 +244,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph/term analytics (r4): TF-IDF, PMI pair mining, PageRank
         "tfidf_top_terms": G.tfidf_top_terms,
         "token_pmi_pairs": G.token_pmi_pairs,
-        "pagerank_lineitem": G.pagerank_lineitem,
+        # hyperlink-graph family over ANCHOR-PLANTED pages (r4 late):
+        # deterministic <a href> targets derived 1:1 from doc_id, so
+        # the oracles replay the planting formula — a mis-extracted or
+        # mis-attributed href hash-mismatches (pipelines/linkgraph.py)
+        "host_link_graph": lambda sf_dir: LG.host_link_graph(
+            LG.pages_with_links_parquet_for(sf_dir)
+        ),
+        # integer-exact PageRank on the host graph; the oracle replays
+        # BOTH the planting formula and the int64 recurrence
+        "host_pagerank": lambda sf_dir: LG.host_pagerank(
+            LG.pages_with_links_parquet_for(sf_dir)
+        ),
+        # distributed triangle count (degree-ordered compact-forward;
+        # oracle = three-way self-join over the planted edges)
+        "triangle_count": lambda sf_dir: LG.triangle_count(
+            LG.pages_with_links_parquet_for(sf_dir)
+        ),
         # BPE tokenizer training, iteration-1 statistics (the iterative
         # learn loop is bpe_learn_merges below, pytest-oracled)
         "bpe_pair_counts": B.bpe_pair_counts,
@@ -270,6 +285,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             W.pages_with_url_variants_parquet_for(sf_dir)
         ),
         # ---------------- driver-cap boundary (entry #50) ----------------
+        # link-graph rotation (latest r4): the three planted-anchor
+        # graph queries take the window; exiled twins —
+        # pagerank_lineitem (identical pagerank_edges_ds core AND
+        # identical recursive-CTE oracle shape as the in-window
+        # host_pagerank), events_sliding (windowed-aggregate twin of
+        # the in-window events_hourly/events_rolling pair) and
+        # gopher_quality_documents (map-only stat twin of the
+        # in-window doc_quality/repetition_stats pair)
+        "pagerank_lineitem": G.pagerank_lineitem,
+        "events_sliding": R.events_sliding,
+        "gopher_quality_documents": T.gopher_quality_documents,
         # exiled stable SQL twins (still DuckDB-checked in pytest).
         # r4 rotation: customers_without_orders (0-row anti-join —
         # weakest in-window signal; J5 stays pytest-oracled),
@@ -369,6 +395,11 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB reproduces the engine's signatures bit-for-bit
     from finance_sc_relations_ray.pipelines.retrieval import (
         bm25_oracle_sql as _bm25_oracle,
+    )
+    from finance_sc_relations_ray.pipelines.linkgraph import (
+        HOST_LINK_GRAPH_ORACLE as _LG_ORACLE,
+        HOST_PAGERANK_ORACLE as _LG_PR_ORACLE,
+        TRIANGLE_COUNT_ORACLE as _LG_TRI_ORACLE,
     )
     from finance_sc_relations_ray.pipelines.text import _minhash_params
     from finance_sc_relations_ray.pipelines.web import (
@@ -1523,6 +1554,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ub ON ub.term = pairs.term_b, n
             WHERE n_ab >= 2
         """,
+        # hyperlink-graph family: each oracle replays the anchor
+        # planting formula (linkgraph.py docstring) from documents —
+        # and, for pagerank, the identical int64 recurrence
+        "host_link_graph": _LG_ORACLE,
+        "host_pagerank": _LG_PR_ORACLE,
+        "triangle_count": _LG_TRI_ORACLE,
         # integer-exact PageRank: the recursive term replays the same
         # int64 recurrence as the engine (floor-div on positives), so
         # ranks match bit-for-bit after 8 iterations

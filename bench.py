@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     # r4: bounded ROWS-window rolling aggregate (one user-bucket
     # exchange + vectorized cumsum-diff kernels)
     "events_rolling",
+    # r4 late: hyperlink-graph family over anchor-planted pages —
+    # href-extraction partials + one host²-bounded edge sum; pagerank
+    # reuses the integer core on the host graph; triangle count is the
+    # degree-oriented wedge join (3 bucketed exchanges end-to-end)
+    "host_link_graph",
+    "host_pagerank",
+    "triangle_count",
 ]
 
 

@@ -1,0 +1,454 @@
+"""Hyperlink-graph analytics over the Common-Crawl-style pages table.
+
+The north-star corpus is a web crawl; after per-page text extraction
+(the reference's ingest surface, ``/root/reference/src/data_loading/
+loader.py`` + SURVEY.md S1/M1), the canonical *structural* signal a
+crawl-scale KG pipeline mines is the hyperlink graph: host-level edge
+lists feed crawl prioritization, spam/hub detection, and the same
+PageRank/centrality scores that weight extracted entities. This module
+adds that family over the synthesized pages:
+
+- :func:`pages_with_links_parquet_for` — the ANCHOR-PLANTED fixture:
+  deterministic ``<a href>`` tags derived 1:1 from ``doc_id`` are
+  injected into the page html OUTSIDE the ``<p>`` blocks, so the
+  byte-identity extraction invariant (stages/extract.py) is untouched
+  (pytest-asserted) while the link formula is SQL-replayable from the
+  ``documents`` table — the same variant-planting trick as the url
+  dedup gate (web.pages_with_url_variants_parquet_for).
+- :func:`host_link_graph` — vectorized href extraction + combiner-first
+  host-edge aggregation (one row per (batch, src, dst) crosses the
+  exchange).
+- :func:`host_pagerank` — the integer-exact PageRank core
+  (graph.pagerank_edges_ds) on the symmetrized host graph; the DuckDB
+  oracle replays the planting formula AND the int64 recurrence, so
+  ranks match bit-for-bit.
+- :func:`triangle_count` — distributed triangle counting via
+  degree-ordered orientation (compact-forward): out-degree under the
+  orientation is bounded by O(sqrt(2m)) regardless of raw-degree skew,
+  so the per-node wedge fan-out a hub host would otherwise explode is
+  bounded by construction (the same skew argument as the minhash star
+  cap, pipelines/text.py).
+
+Planting formula (replayed verbatim by the SQL oracles): page
+``doc_id`` carries ``k = 1 + doc_id % 3`` outlinks; link ``j``
+(0-based) targets host ``example{(doc_id*31 + j*17 + 7) % 127}.com``.
+Self-links (target host == source host) occur naturally and are kept
+in the edge table; the graph ops (pagerank/triangles) drop them, as
+does the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sources.io import sized_read_parquet
+from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+from ..stages.shuffle import bucketed_sum_ds, salted_dedup
+
+_URL_RE = r"^https?://([^/]+)/page/(\d+)$"
+# href target host: the fixture plants absolute http(s) urls only
+_HREF_RE = r'<a href="https?://([^/"]+)/'
+
+
+# ------------------------------------------------ planted fixture ----
+
+
+def pages_with_links_parquet_for(sf_dir: str) -> str:
+    """Anchor-planted pages table (cached): the synthesized pages with
+    DETERMINISTIC outlink anchors appended before the footer, derived
+    1:1 from doc_id (module docstring formula) — hence SQL-replayable
+    from ``documents`` while the extracted text stays byte-identical
+    (anchors live outside the ``<p>`` blocks the extractor reads)."""
+    import pyarrow.dataset as pads
+
+    from ..sources.pages import pages_parquet_for
+
+    base_path = pages_parquet_for(sf_dir)
+    out_dir = os.path.normpath(base_path) + "-links"
+    marker = os.path.join(out_dir, "pages.parquet")
+    if os.path.isfile(marker):
+        return marker
+    t = pads.dataset(base_path).to_table()
+    df = t.to_pandas()
+    doc_id = (
+        df["url"].str.extract(_URL_RE)[1].astype(np.int64).to_numpy()
+    )
+    html = df["html"].to_numpy(copy=False)
+    out_html = []
+    for i in range(len(df)):
+        d = int(doc_id[i])
+        k = 1 + d % 3
+        anchors = "".join(
+            f'<a href="https://example{(d * 31 + j * 17 + 7) % 127}.com'
+            f'/page/{d * 1000 + j}">rel{j}</a>'
+            for j in range(k)
+        ).encode("utf-8")
+        out_html.append(html[i].replace(b"<footer>", anchors + b"<footer>"))
+    df["html"] = out_html
+    out = pa.Table.from_pandas(df, preserve_index=False).cast(t.schema)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    pq.write_table(out, tmp, row_group_size=1024)
+    os.replace(tmp, marker)
+    return marker
+
+
+# --------------------------------------------- host edge extraction ----
+
+
+def _edge_partials(batch: pa.Table) -> pa.Table:
+    """(url, html) batch → per-batch (src_domain, dst_domain, n_links)
+    combiner rows. Vectorized: one ``str.extract`` for the source host,
+    one ``str.extractall`` sweep for every anchor target host."""
+    url = batch["url"].to_pandas()
+    src = url.str.extract(_URL_RE)[0]
+    if src.isna().any():
+        raise ValueError(
+            f"unparseable page url: {url[src.isna()].iloc[0]!r}"
+        )
+    html = batch["html"].to_pandas().str.decode("utf-8")
+    m = html.str.extractall(_HREF_RE)
+    if len(m) == 0:
+        return pa.table(
+            {
+                "src_domain": pa.array([], pa.string()),
+                "dst_domain": pa.array([], pa.string()),
+                "n_links": pa.array([], pa.int64()),
+            }
+        )
+    dst = m[0]
+    src_m = src.to_numpy()[m.index.get_level_values(0).to_numpy()]
+    g = (
+        pd.DataFrame({"src_domain": src_m, "dst_domain": dst.to_numpy()})
+        .groupby(["src_domain", "dst_domain"], as_index=False, sort=False)
+        .size()
+    )
+    return pa.table(
+        {
+            "src_domain": pa.array(g["src_domain"], pa.string()),
+            "dst_domain": pa.array(g["dst_domain"], pa.string()),
+            "n_links": pa.array(g["size"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def _host_edges(pages_path: str) -> "object":
+    """Aggregated directed host edge list (src_domain, dst_domain,
+    n_links): map-only extraction partials → ONE coarse-bucketed sum
+    (at most one row per (edge, batch) crosses the exchange; the edge
+    table is host²-bounded, never corpus-sized)."""
+    ds = sized_read_parquet(pages_path, columns=["url", "html"])
+    partials = ds.map_batches(_edge_partials, batch_format="pyarrow")
+    return bucketed_sum_ds(
+        partials, keys=["src_domain", "dst_domain"], value_cols=["n_links"]
+    )
+
+
+def host_link_graph(pages_path: str) -> "object":
+    """Host-level link graph over the anchor-planted pages: one row per
+    (src_domain, dst_domain) with the total anchor count. The SQL
+    oracle replays the planting formula from ``documents``, so a
+    mis-extracted or mis-attributed href hash-mismatches."""
+    return _host_edges(pages_path)
+
+
+# ----------------------------------------------------- pagerank ----
+
+
+def host_pagerank(pages_path: str, iters: int = 8) -> "object":
+    """Integer-exact PageRank over the undirected host graph: the
+    directed edge aggregate, self-loops dropped, symmetrized, parallel
+    edges MERGED (int64 floor-division makes merged vs unmerged weights
+    observable — the oracle merges, so the engine must), then the
+    shared :func:`...graph.pagerank_edges_ds` core. Returns
+    ``(domain, rank_micro)`` bit-identical to the DuckDB recursive-CTE
+    replay."""
+    from .graph import pagerank_edges_ds
+
+    directed = _host_edges(pages_path)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["src_domain"] != df["dst_domain"]]
+        w = df["n_links"].to_numpy()
+        if len(w) and int(w.max()) > 9_000_000:
+            raise ValueError(
+                "host_pagerank: edge weight > 9e6 would overflow the "
+                "int64 micro-rank product; rescale weights first"
+            )
+        s = df["src_domain"].to_numpy()
+        d = df["dst_domain"].to_numpy()
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([s, d]), pa.string()),
+                "d": pa.array(np.concatenate([d, s]), pa.string()),
+                "w": pa.array(np.concatenate([w, w]), pa.int64()),
+            }
+        )
+
+    edges = bucketed_sum_ds(
+        directed.map_batches(symmetrize, batch_format="pyarrow"),
+        keys=["s", "d"],
+        value_cols=["w"],
+    )
+    ranks = pagerank_edges_ds(edges, iters=iters, node_type=pa.string())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"domain": batch["node"], "rank_micro": batch["r"]})
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+# ----------------------------------------------- triangle counting ----
+
+
+def triangle_count(pages_path: str, num_buckets: int = 32):
+    """Distributed triangle count over the undirected host graph
+    (compact-forward with degree ordering).
+
+    Plan — every stage is combiner-first and key-bucketed:
+
+    1. distinct undirected edges: canonicalize (a, b) = (min, max),
+       self-loops dropped, combiner dedup (salted_dedup).
+    2. degrees: one bucketed sum over the exploded endpoints.
+    3. ORIENT each edge from the endpoint with the smaller
+       ``(degree, name)`` key to the larger (two bucket lookup joins
+       attach degrees). Under this orientation every node's out-degree
+       is ≤ O(sqrt(2m)) — a hub host with millions of in-links fans
+       out only to neighbors of even higher degree — so step 4's
+       per-node pair enumeration is bounded by construction, the skew
+       guarantee that makes the wedge stage safe at web scale.
+    4. wedges: bucket by source, enumerate out-neighbor pairs per node
+       (numpy triu indices), each wedge emitted ordered by the same
+       (degree, name) key.
+    5. close: union (wedge count) with (oriented edge flag) rows, one
+       bucketed sum per pair key, then sum wedge counts where the edge
+       is present. Each triangle is counted exactly once — at its
+       orientation-minimal vertex.
+
+    Returns a one-row pandas DataFrame ``{n_triangles}``; the SQL
+    oracle replays the planting formula with a three-way self-join.
+    """
+    directed = _host_edges(pages_path)
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["src_domain"] != df["dst_domain"]]
+        s = df["src_domain"].to_numpy()
+        d = df["dst_domain"].to_numpy()
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table(
+            {"a": pa.array(lo, pa.string()), "b": pa.array(hi, pa.string())}
+        )
+
+    und = salted_dedup(
+        directed.map_batches(canonical, batch_format="pyarrow"),
+        ["a", "b"],
+        num_buckets=num_buckets,
+    ).select_columns(["a", "b"])
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.string()),
+                "deg": pa.array(np.ones(2 * len(a), dtype=np.int64)),
+            }
+        )
+
+    deg = bucketed_sum_ds(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        keys=["node"],
+        value_cols=["deg"],
+        num_buckets=num_buckets,
+    )
+
+    edge_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    with_da = bucket_lookup_join(
+        und,
+        deg,
+        on="a",
+        right_key="node",
+        payload={"deg": "deg_a"},
+        left_schema=edge_schema,
+        payload_types={"deg_a": pa.int64()},
+        num_buckets=num_buckets,
+    )
+    with_deg = bucket_lookup_join(
+        with_da,
+        deg,
+        on="b",
+        right_key="node",
+        payload={"deg": "deg_b"},
+        left_schema=edge_schema.append(pa.field("deg_a", pa.int64())),
+        payload_types={"deg_b": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        a_first = (df["deg_a"].to_numpy() < df["deg_b"].to_numpy()) | (
+            (df["deg_a"].to_numpy() == df["deg_b"].to_numpy())
+            & (df["a"].to_numpy() < df["b"].to_numpy())
+        )
+        s = np.where(a_first, df["a"], df["b"])
+        d = np.where(a_first, df["b"], df["a"])
+        dd = np.where(a_first, df["deg_b"], df["deg_a"]).astype(np.int64)
+        bucket = (
+            pd.util.hash_pandas_object(pd.Series(s), index=False).to_numpy()
+            % num_buckets
+        ).astype("int32")
+        return pa.table(
+            {
+                "s": pa.array(s, pa.string()),
+                "d": pa.array(d, pa.string()),
+                "deg_d": pa.array(dd, pa.int64()),
+                "__wbucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(g: "pd.DataFrame") -> "pd.DataFrame":
+        # per source node: out-neighbors sorted by the orientation key
+        # (deg, name); every neighbor pair is a wedge, emitted in that
+        # same order so it keys against the oriented edge set directly
+        outs = []
+        for _, grp in g.groupby("s", sort=False):
+            if len(grp) < 2:
+                continue
+            order = np.lexsort(
+                (grp["d"].to_numpy(), grp["deg_d"].to_numpy())
+            )
+            nb = grp["d"].to_numpy()[order]
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"x": nb[i], "y": nb[j]}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "x": pd.Series([], dtype=str),
+                    "y": pd.Series([], dtype=str),
+                    "n_wedge": pd.Series([], dtype=np.int64),
+                    "n_edge": pd.Series([], dtype=np.int64),
+                }
+            )
+        w = pd.concat(outs, ignore_index=True)
+        out = w.groupby(["x", "y"], as_index=False, sort=False).size()
+        out = out.rename(columns={"size": "n_wedge"})
+        out["n_edge"] = np.int64(0)
+        return out
+
+    tag_schema = pa.schema(
+        [
+            ("x", pa.string()),
+            ("y", pa.string()),
+            ("n_wedge", pa.int64()),
+            ("n_edge", pa.int64()),
+        ]
+    )
+
+    wedge_rows = oriented.groupby("__wbucket").map_groups(
+        wedges, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+    ).map_batches(
+        # strip pandas metadata so both union branches carry the same
+        # bare schema (mismatched metadata trips Ray's schema unify)
+        lambda b: b.select(tag_schema.names).cast(tag_schema),
+        batch_format="pyarrow",
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "x": batch["s"].cast(pa.string()),
+                "y": batch["d"].cast(pa.string()),
+                "n_wedge": pa.array(np.zeros(n, dtype=np.int64)),
+                "n_edge": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    tagged = wedge_rows.union(
+        oriented.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    closed = bucketed_sum_ds(
+        tagged,
+        keys=["x", "y"],
+        value_cols=["n_wedge", "n_edge"],
+        num_buckets=num_buckets,
+    )
+
+    def matched(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = int(df.loc[df["n_edge"] > 0, "n_wedge"].sum())
+        return pa.table({"n_tri": pa.array([n], pa.int64())})
+
+    total = closed.map_batches(matched, batch_format="pyarrow").sum("n_tri")
+    return pd.DataFrame({"n_triangles": [int(total or 0)]})
+
+
+# ---------------------------------------------------- SQL oracles ----
+
+# planted-link replay shared by every oracle in this family (module
+# docstring formula; j < 1 + doc_id % 3 outlinks per page)
+_LINKS_CTE = """
+    j(j) AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
+    links AS (
+        SELECT 'example' || CAST(d.doc_id % 127 AS VARCHAR) || '.com'
+                   AS src_domain,
+               'example' || CAST((d.doc_id * 31 + j.j * 17 + 7) % 127
+                   AS VARCHAR) || '.com' AS dst_domain
+        FROM documents d, j
+        WHERE j.j < 1 + d.doc_id % 3
+    )
+"""
+
+HOST_LINK_GRAPH_ORACLE = f"""
+    WITH {_LINKS_CTE}
+    SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
+    FROM links GROUP BY 1, 2
+"""
+
+HOST_PAGERANK_ORACLE = f"""
+    WITH RECURSIVE {_LINKS_CTE},
+    ecnt AS (
+        SELECT src_domain AS s, dst_domain AS d, count(*)::BIGINT AS w
+        FROM links WHERE src_domain <> dst_domain GROUP BY 1, 2
+    ),
+    sym AS (SELECT s, d, w FROM ecnt UNION ALL SELECT d, s, w FROM ecnt),
+    edges AS (SELECT s, d, sum(w)::BIGINT AS w FROM sym GROUP BY 1, 2),
+    outw AS (SELECT s, sum(w)::BIGINT AS ow FROM edges GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n_nodes FROM outw),
+    pr(it, node, r) AS (
+        SELECT 0, s, 1000000000000 // (SELECT n_nodes FROM nn) FROM outw
+        UNION ALL
+        SELECT pr.it + 1, e.d,
+               (150000000000 // (SELECT n_nodes FROM nn))
+               + (85 * sum((pr.r * e.w) // ow.ow)) // 100
+        FROM pr
+        JOIN edges e ON e.s = pr.node
+        JOIN outw ow ON ow.s = pr.node
+        WHERE pr.it < 8
+        GROUP BY pr.it + 1, e.d
+    )
+    SELECT node AS domain, r AS rank_micro FROM pr WHERE it = 8
+"""
+
+TRIANGLE_COUNT_ORACLE = f"""
+    WITH {_LINKS_CTE},
+    und AS (
+        SELECT DISTINCT LEAST(src_domain, dst_domain) AS a,
+                        GREATEST(src_domain, dst_domain) AS b
+        FROM links WHERE src_domain <> dst_domain
+    )
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
