@@ -46,6 +46,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from finance_sc_relations_ray.pipelines import bpe as B
     from finance_sc_relations_ray.pipelines import graph as G
+    from finance_sc_relations_ray.pipelines import kg_state as KS
     from finance_sc_relations_ray.pipelines import linkgraph as LG
     from finance_sc_relations_ray.pipelines import mlops as M
     from finance_sc_relations_ray.pipelines import relational as R
@@ -376,6 +377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_relation_items": kg_relation_items,  # KV item shape (non-SQL)
         "kg_triples_shuffle_plan": kg_triples_shuffle_plan,
         "kg_training_data": kg_training_data,  # non-SQL (seeded split/shuffle)
+        # incremental triple-store ingest (non-SQL): base state + a
+        # delta-crawl fixture through the shard-pruned merge; equality
+        # with a from-scratch rebuild is pytest-enforced
+        # (tests/test_kg_state.py)
+        "kg_state_update": KS.kg_state_update,
         # entity salience over the extracted KG (non-SQL: triples come
         # from the actor-pool pipeline; pytest-oracled replay)
         "kg_entity_pagerank": G.kg_entity_pagerank,
