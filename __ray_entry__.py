@@ -192,7 +192,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentencize_documents": T.sentencize_documents,
         "doc_quality": T.doc_quality,
         "lang_id_documents": T.lang_id_documents,
-        "dedup_exact": T.dedup_exact,
         "span_dedup_documents": T.span_dedup_documents,
         "filter_quality_documents": T.filter_quality_documents,
         # oracle-gated: the degenerate-bucket star cap is deliberately
@@ -252,6 +251,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": lambda sf_dir: LG.host_link_graph(
             LG.pages_with_links_parquet_for(sf_dir)
         ),
+        # anchor-TEXT mining: the off-page entity-alias signal; the
+        # fixture plants gazetteer names as anchor text, the oracle
+        # replays host AND entity formulas (pool names as literals).
+        # Rotation: dedup_exact moves past the cap — its combiner core
+        # runs verbatim inside the in-window curate_documents oracle
+        "anchor_entity_mentions": lambda sf_dir: LG.anchor_entity_mentions(
+            LG.pages_with_links_parquet_for(sf_dir)
+        ),
         # integer-exact PageRank on the host graph; the oracle replays
         # BOTH the planting formula and the int64 recurrence
         "host_pagerank": lambda sf_dir: LG.host_pagerank(
@@ -297,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_lineitem": G.pagerank_lineitem,
         "events_sliding": R.events_sliding,
         "gopher_quality_documents": T.gopher_quality_documents,
+        "dedup_exact": T.dedup_exact,
         # exiled stable SQL twins (still DuckDB-checked in pytest).
         # r4 rotation: customers_without_orders (0-row anti-join —
         # weakest in-window signal; J5 stays pytest-oracled),
@@ -406,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         HOST_LINK_GRAPH_ORACLE as _LG_ORACLE,
         HOST_PAGERANK_ORACLE as _LG_PR_ORACLE,
         TRIANGLE_COUNT_ORACLE as _LG_TRI_ORACLE,
+        anchor_entity_oracle as _LG_ANCHOR_ORACLE,
     )
     from finance_sc_relations_ray.pipelines.text import _minhash_params
     from finance_sc_relations_ray.pipelines.web import (
@@ -1564,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         # planting formula (linkgraph.py docstring) from documents —
         # and, for pagerank, the identical int64 recurrence
         "host_link_graph": _LG_ORACLE,
+        "anchor_entity_mentions": _LG_ANCHOR_ORACLE(),
         "host_pagerank": _LG_PR_ORACLE,
         "triangle_count": _LG_TRI_ORACLE,
         # integer-exact PageRank: the recursive term replays the same

@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "host_link_graph",
     "host_pagerank",
     "triangle_count",
+    # anchor-text mining: same extraction+sum shape over the
+    # (host × entity)-bounded key space
+    "anchor_entity_mentions",
 ]
 
 

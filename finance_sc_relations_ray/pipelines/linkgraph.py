@@ -29,12 +29,21 @@ adds that family over the synthesized pages:
   bounded by construction (the same skew argument as the minhash star
   cap, pipelines/text.py).
 
+- :func:`anchor_entity_mentions` — anchor-TEXT mining: the classic
+  entity-linking signal ("pages linking to host H call it entity E" —
+  the web-scale alias evidence the reference's alias items capture
+  in-document, reporter.py:347-385, lifted to the link graph). The
+  fixture plants gazetteer entity names as the anchor text, so the SQL
+  oracle replays both the target-host and the anchor-entity formula.
+
 Planting formula (replayed verbatim by the SQL oracles): page
 ``doc_id`` carries ``k = 1 + doc_id % 3`` outlinks; link ``j``
-(0-based) targets host ``example{(doc_id*31 + j*17 + 7) % 127}.com``.
-Self-links (target host == source host) occur naturally and are kept
-in the edge table; the graph ops (pagerank/triangles) drop them, as
-does the oracle.
+(0-based) targets host ``example{(doc_id*31 + j*17 + 7) % 127}.com``
+with anchor text ``POOL[(doc_id*13 + j*7) % 61]`` (the 61-name default
+gazetteer, embedded as literals in the oracle the way the minhash
+permutation constants are). Self-links (target host == source host)
+occur naturally and are kept in the edge table; the graph ops
+(pagerank/triangles) drop them, as does the oracle.
 """
 
 from __future__ import annotations
@@ -66,10 +75,11 @@ def pages_with_links_parquet_for(sf_dir: str) -> str:
     (anchors live outside the ``<p>`` blocks the extractor reads)."""
     import pyarrow.dataset as pads
 
-    from ..sources.pages import pages_parquet_for
+    from ..sources.pages import _DEFAULT_FULL_NAMES, pages_parquet_for
 
     base_path = pages_parquet_for(sf_dir)
-    out_dir = os.path.normpath(base_path) + "-links"
+    # cache version suffix: bump when the planting formula changes
+    out_dir = os.path.normpath(base_path) + "-links2"
     marker = os.path.join(out_dir, "pages.parquet")
     if os.path.isfile(marker):
         return marker
@@ -78,6 +88,7 @@ def pages_with_links_parquet_for(sf_dir: str) -> str:
     doc_id = (
         df["url"].str.extract(_URL_RE)[1].astype(np.int64).to_numpy()
     )
+    pool = _DEFAULT_FULL_NAMES
     html = df["html"].to_numpy(copy=False)
     out_html = []
     for i in range(len(df)):
@@ -85,7 +96,8 @@ def pages_with_links_parquet_for(sf_dir: str) -> str:
         k = 1 + d % 3
         anchors = "".join(
             f'<a href="https://example{(d * 31 + j * 17 + 7) % 127}.com'
-            f'/page/{d * 1000 + j}">rel{j}</a>'
+            f'/page/{d * 1000 + j}">'
+            f"{pool[(d * 13 + j * 7) % len(pool)]}</a>"
             for j in range(k)
         ).encode("utf-8")
         out_html.append(html[i].replace(b"<footer>", anchors + b"<footer>"))
@@ -155,6 +167,56 @@ def host_link_graph(pages_path: str) -> "object":
     oracle replays the planting formula from ``documents``, so a
     mis-extracted or mis-attributed href hash-mismatches."""
     return _host_edges(pages_path)
+
+
+# ------------------------------------------- anchor-text mining ----
+
+_ANCHOR_RE = r'<a href="https?://([^/"]+)/[^"]*">([^<]*)</a>'
+
+
+def anchor_entity_mentions(pages_path: str) -> "object":
+    """(dst_domain, anchor_text, n_links): how the web DESCRIBES each
+    target host — the aggregate anchor-text table entity linking mines
+    (anchor text is the canonical off-page alias signal; the in-window
+    twin of the reference's in-document alias items, lifted to the
+    link graph). Same combiner-first shape as :func:`host_link_graph`:
+    one extractall sweep per batch, one host×entity-bounded sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        html = batch["html"].to_pandas().str.decode("utf-8")
+        m = html.str.extractall(_ANCHOR_RE)
+        if len(m) == 0:
+            return pa.table(
+                {
+                    "dst_domain": pa.array([], pa.string()),
+                    "anchor_text": pa.array([], pa.string()),
+                    "n_links": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pd.DataFrame(
+                {
+                    "dst_domain": m[0].to_numpy(),
+                    "anchor_text": m[1].to_numpy(),
+                }
+            )
+            .groupby(["dst_domain", "anchor_text"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "dst_domain": pa.array(g["dst_domain"], pa.string()),
+                "anchor_text": pa.array(g["anchor_text"], pa.string()),
+                "n_links": pa.array(g["size"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = sized_read_parquet(pages_path, columns=["html"])
+    return bucketed_sum_ds(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["dst_domain", "anchor_text"],
+        value_cols=["n_links"],
+    )
 
 
 # ----------------------------------------------------- pagerank ----
@@ -395,15 +457,22 @@ def triangle_count(pages_path: str, num_buckets: int = 32):
 
 # ---------------------------------------------------- SQL oracles ----
 
+def _pool() -> list[str]:
+    from ..sources.pages import _DEFAULT_FULL_NAMES
+
+    return _DEFAULT_FULL_NAMES
+
+
 # planted-link replay shared by every oracle in this family (module
 # docstring formula; j < 1 + doc_id % 3 outlinks per page)
-_LINKS_CTE = """
+_LINKS_CTE = f"""
     j(j) AS (SELECT * FROM (VALUES (0), (1), (2)) t(j)),
     links AS (
         SELECT 'example' || CAST(d.doc_id % 127 AS VARCHAR) || '.com'
                    AS src_domain,
                'example' || CAST((d.doc_id * 31 + j.j * 17 + 7) % 127
-                   AS VARCHAR) || '.com' AS dst_domain
+                   AS VARCHAR) || '.com' AS dst_domain,
+               (d.doc_id * 13 + j.j * 7) % {len(_pool())} AS anchor_idx
         FROM documents d, j
         WHERE j.j < 1 + d.doc_id % 3
     )
@@ -414,6 +483,25 @@ HOST_LINK_GRAPH_ORACLE = f"""
     SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
     FROM links GROUP BY 1, 2
 """
+
+def anchor_entity_oracle() -> str:
+    """Oracle for :func:`anchor_entity_mentions`: replays the planted
+    (host, entity) formula with the gazetteer pool embedded as literals
+    (names contain no quotes — checked at build)."""
+    names = _pool()
+    if any("'" in n for n in names):
+        raise ValueError("gazetteer name contains a quote; oracle literals unsafe")
+    pool_rows = ", ".join(f"({i}, '{n}')" for i, n in enumerate(names))
+    return f"""
+        WITH {_LINKS_CTE},
+        pool(idx, name) AS (SELECT * FROM (VALUES {pool_rows}) p(idx, name))
+        SELECT l.dst_domain,
+               p.name AS anchor_text,
+               count(*)::BIGINT AS n_links
+        FROM links l JOIN pool p ON p.idx = l.anchor_idx
+        GROUP BY 1, 2
+    """
+
 
 HOST_PAGERANK_ORACLE = f"""
     WITH RECURSIVE {_LINKS_CTE},

@@ -119,6 +119,35 @@ def test_host_link_graph_counts_and_ignores_relative(tmp_path):
     pd.testing.assert_frame_equal(g, exp, check_dtype=False)
 
 
+def test_anchor_entity_mentions_counts(tmp_path):
+    p = _mk_pages(
+        tmp_path,
+        [
+            (
+                _url("a.com", 1),
+                '<a href="https://b.com/x">Apple Inc</a>'
+                '<a href="https://b.com/y">Apple Inc</a>'
+                '<a href="https://c.com/z">Samsung Electronics Co</a>',
+            ),
+            (_url("d.com", 2), '<a href="https://b.com/q">Apple Inc</a>'),
+        ],
+    )
+    g = (
+        L.anchor_entity_mentions(p)
+        .to_pandas()
+        .sort_values(["dst_domain", "anchor_text"])
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "dst_domain": ["b.com", "c.com"],
+            "anchor_text": ["Apple Inc", "Samsung Electronics Co"],
+            "n_links": np.array([3, 1], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(g, exp, check_dtype=False)
+
+
 # -------------------------------------------------------- triangles ----
 
 
