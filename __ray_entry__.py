@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from finance_sc_relations_ray.pipelines import relational as R
     from finance_sc_relations_ray.pipelines import retrieval as RT
     from finance_sc_relations_ray.pipelines import similarity as S
+    from finance_sc_relations_ray.pipelines import kg as KGC
     from finance_sc_relations_ray.pipelines import text as T
     from finance_sc_relations_ray.pipelines import web as W
     from finance_sc_relations_ray.pipelines.kg import build_kg_pipeline
@@ -390,6 +391,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with a from-scratch rebuild is pytest-enforced
         # (tests/test_kg_state.py)
         "kg_state_update": KS.kg_state_update,
+        # composed crawl flagship (non-SQL): url-canonical dedup (keep
+        # newest snapshot) BEFORE extraction over content-differing
+        # planted recrawls — dedup observability pytest-enforced
+        # (tests/test_kg_from_crawl.py)
+        "kg_from_crawl": lambda sf_dir: KGC.kg_from_crawl(
+            KGC.pages_with_recrawl_content_parquet_for(sf_dir)
+        ),
         # entity salience over the extracted KG (non-SQL: triples come
         # from the actor-pool pipeline; pytest-oracled replay)
         "kg_entity_pagerank": G.kg_entity_pagerank,

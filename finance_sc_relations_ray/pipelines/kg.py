@@ -449,3 +449,103 @@ def build_kg_pipeline(
             batch_format="pyarrow",
         )
     return triples_dataset(linked, config)
+
+
+# ---------------------------------------- composed crawl flagship ----
+
+
+def kg_from_crawl(
+    pages_path: str,
+    config: KGConfig = DEFAULT_CONFIG,
+    company_db: pa.Table | None = None,
+) -> "ray.data.Dataset":
+    """The full-crawl composition the north star describes: URL-CANONICAL
+    DEDUP (keep the newest snapshot per page — web.url_keep_latest_pages_ds,
+    the same winner fold the SQL-oracled url_dedup_pages gate checks)
+    runs BEFORE extraction, then the page-local KG pipeline consumes the
+    winner rows. At crawl scale this is mandatory ordering: recrawled
+    snapshots would otherwise pay NER/RE inference per copy and leak
+    stale relations into the triple store; deduping first makes the
+    expensive actor-pool stage see each page exactly once, and the
+    triple witness urls come out CANONICAL.
+
+    Triples are exactly ``build_kg_pipeline`` over the winner snapshots
+    (pytest-oracled against the pure-Python oracle on formula-derived
+    winner pages, including a planted case where a stale snapshot
+    carries different html — tests/test_kg_from_crawl.py)."""
+    from ..stages.fused import PageKGActor
+    from .web import url_keep_latest_pages_ds
+
+    winners = url_keep_latest_pages_ds(
+        pages_path, columns=["html", "lang"]
+    )
+
+    page_schema = pa.schema(
+        [("url", pa.string()), ("html", pa.binary()), ("lang", pa.string())]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        return batch.select(["url", "html", "lang"]).cast(page_schema)
+
+    pages = winners.map_batches(to_pages, batch_format="pyarrow")
+    db_ref = ray.put(
+        company_db if company_db is not None else company_db_table()
+    )
+    linked = pages.map_batches(
+        PageKGActor,
+        fn_constructor_kwargs={"config": config, "db_ref": db_ref},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=config.ner_concurrency,
+        **actor_resources(config),
+    )
+    return triples_dataset(linked, config)
+
+
+def pages_with_recrawl_content_parquet_for(sf_dir: str) -> str:
+    """Fixture for the crawl composition (cached): the synthesized pages
+    plus DETERMINISTIC content-differing recrawls — ``doc_id % 7 == 3``
+    gains a LATER snapshot (+3600 s) under the messy url variant
+    ``http://WWW.example{N}.com:80/page/{id}`` whose html keeps only the
+    FIRST paragraph (a page that shrank between crawls). Dedup-before-
+    extract is therefore OBSERVABLE in the triples: processing both
+    snapshots (or the wrong winner) yields different relations than the
+    newest-snapshot corpus. Winner formula is replayed by the pytest
+    oracle (tests/test_kg_from_crawl.py)."""
+    import os
+    import re as _re
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..sources.pages import pages_parquet_for
+
+    base_path = pages_parquet_for(sf_dir)
+    out_dir = os.path.normpath(base_path) + "-recrawl"
+    marker = os.path.join(out_dir, "pages.parquet")
+    if os.path.isfile(marker):
+        return marker
+    t = pads.dataset(base_path).to_table()
+    df = t.to_pandas()
+    import pandas as pd
+
+    doc_id = df["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64)
+    dom = df["url"].str.extract(r"^https://([^/]+)/")[0]
+    sel = (doc_id % 7 == 3).to_numpy()
+    re_rows = df[sel].copy()
+    first_p = _re.compile(rb"(.*?<p>.*?</p>).*(<footer>.*)", _re.DOTALL)
+    re_rows["html"] = [
+        first_p.sub(rb"\1\2", h) for h in re_rows["html"]
+    ]
+    re_rows["url"] = (
+        "http://WWW." + dom[sel] + ":80/page/" + doc_id[sel].astype(str)
+    )
+    re_rows["warc_ts"] = re_rows["warc_ts"] + pd.Timedelta(seconds=3600)
+    allrows = pd.concat([df, re_rows], ignore_index=True)
+    out = pa.Table.from_pandas(allrows, preserve_index=False).cast(t.schema)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    pq.write_table(out, tmp, row_group_size=1024)
+    os.replace(tmp, marker)
+    return marker

@@ -195,13 +195,15 @@ def url_dedup_pages(pages_path: str) -> "object":
 
 
 def url_keep_latest_pages_ds(
-    pages_path: str, num_buckets: int = 64
+    pages_path: str, num_buckets: int = 64, columns: list[str] | None = None
 ) -> "object":
     """URL-canonical dedup, winner-ROW form: ONE page row per canonical
     url — the latest crawl (max warc_ts; ties break to the
     lexicographically-largest RAW url, a pure-function tiebreak so the
     result is independent of partitioning). Columns: url (canonical),
-    warc_ts, text.
+    warc_ts, plus ``columns`` payload (default ``["text"]`` — the
+    whole winner ROW rides the fold, so any page column can be carried;
+    ``kg.kg_from_crawl`` carries html+lang into extraction).
 
     Plan (the salted_dedup two-phase shape, stages/shuffle.py): each
     batch keeps its LOCAL winner per canonical url (vectorized
@@ -214,7 +216,10 @@ def url_keep_latest_pages_ds(
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
-    ds = sized_read_parquet(pages_path, columns=["url", "warc_ts", "text"])
+    payload = ["text"] if columns is None else list(columns)
+    ds = sized_read_parquet(
+        pages_path, columns=["url", "warc_ts"] + payload
+    )
 
     def local_win(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.rename(columns={"url": "raw_url"})
@@ -226,7 +231,7 @@ def url_keep_latest_pages_ds(
             pd.util.hash_pandas_object(batch["url"], index=False).to_numpy()
             % num_buckets
         ).astype(np.int32)
-        batch = batch[["url", "raw_url", "warc_ts", "text"]].copy()
+        batch = batch[["url", "raw_url", "warc_ts"] + payload].copy()
         batch["__dbucket"] = hb
         return batch
 
