@@ -280,10 +280,29 @@ def run_bench() -> dict:
         kg_part_sec = time.perf_counter() - t0
         shutil.rmtree(part_dir, ignore_errors=True)
 
+    # resumable composed crawl (stage-0 winner fold + partitioned
+    # extraction) over the same 20k pages — the production shape; its
+    # delta vs kg_partitioned is the winner fold + sharded re-write
+    crawl_part_sec = None
+    if os.environ.get("GRAFT_BENCH_PARTITIONED", "1") != "0":
+        from finance_sc_relations_ray.pipelines.run import crawl_partitioned
+
+        part_dir = "/tmp/bench_kg_crawl_parts"
+        shutil.rmtree(part_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        crawl_partitioned(
+            pages_path, part_dir, num_parts=max(8, ncpu // 4), config=cfg
+        )
+        merge_parts(part_dir).count()
+        crawl_part_sec = time.perf_counter() - t0
+        shutil.rmtree(part_dir, ignore_errors=True)
+
     qs = entry.queries()
     timings: dict[str, float] = {"kg_pipeline": round(kg_sec, 3)}
     if kg_part_sec is not None:
         timings["kg_partitioned"] = round(kg_part_sec, 3)
+    if crawl_part_sec is not None:
+        timings["crawl_partitioned"] = round(crawl_part_sec, 3)
     if kg_sat_sec is not None:
         timings["kg_pipeline_saturated"] = round(kg_sat_sec, 3)
     import ray.data as _rd

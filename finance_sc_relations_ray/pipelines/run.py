@@ -47,9 +47,12 @@ from ..stages.triples import to_triples_batch
 
 def _input_files(pages_path: str) -> list[str]:
     if os.path.isdir(pages_path):
+        # recursive: hive-sharded inputs (e.g. crawl_partitioned's
+        # winner corpus, wpart=<k>/ dirs) list their leaf files too
         return sorted(
-            os.path.join(pages_path, f)
-            for f in os.listdir(pages_path)
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(pages_path)
+            for f in files
             if f.endswith(".parquet")
         )
     return [pages_path]
@@ -532,3 +535,89 @@ def merge_parts(
         merged = _merge_bucket(combined.to_pandas(), keys)
         return ray.data.from_pandas(merged)
     return salted_dedup(ds, keys)
+
+
+def crawl_partitioned(
+    pages_path: str,
+    out_dir: str,
+    num_parts: int = 16,
+    parts_per_chunk: int = 8,
+    config: KGConfig = DEFAULT_CONFIG,
+    max_chunks: int | None = None,
+) -> dict:
+    """Resumable execution of the composed crawl flagship
+    (kg.kg_from_crawl) — the shape a real crawl-scale run uses:
+
+    - **Stage 0 (global, idempotent)**: the url-canonical winner fold
+      (web.url_keep_latest_pages_ds carrying html+lang) writes the
+      newest-snapshot corpus to ``out_dir/_winner_pages/`` via a
+      distributed ``write_parquet`` into a tmp dir + atomic rename,
+      marked with ``_WINNERS_DONE``. The fold is ONE exchange and is
+      the cheap stage (no model inference); a crash before the marker
+      reruns it from scratch — never trusting a half-written fold.
+      Dedup must PRECEDE partitioning: snapshots of one page can sit
+      in different input files, so a per-part fold would leak
+      duplicate pages across resume units.
+    - **Stage 1+ (per part, resumable)**: ``run_partitioned`` over the
+      winner files — extraction/NER/RE pay per winner page exactly
+      once, parts resume at the manifest, finished parts' bytes are
+      never re-read.
+
+    Final triples (``merge_parts(out_dir)``) equal the one-shot
+    ``kg_from_crawl`` row-for-row (tests/test_resume_crawl.py, incl.
+    an interrupted-and-resumed run that must not re-run the fold)."""
+
+    winners_dir = os.path.join(out_dir, "_winner_pages")
+    marker = os.path.join(winners_dir, "_WINNERS_DONE")
+    if not os.path.isfile(marker):
+        from .web import url_keep_latest_pages_ds
+
+        page_schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("html", pa.binary()),
+                ("lang", pa.string()),
+            ]
+        )
+
+        n_shards = max(num_parts, 16)
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            out = batch.select(["url", "html", "lang"]).cast(page_schema)
+            # file-layout shard (hive wpart=<k>/): the winner corpus
+            # must land in MANY files or stage 1's part granularity
+            # collapses — sharding at the write costs no extra
+            # exchange (each block scatters to the dirs it touches)
+            wp = (
+                pd.util.hash_pandas_object(
+                    out["url"].to_pandas(), index=False
+                ).to_numpy()
+                % n_shards
+            ).astype("int32")
+            return out.append_column("wpart", pa.array(wp, pa.int32()))
+
+        tmp = winners_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        url_keep_latest_pages_ds(
+            pages_path, columns=["html", "lang"]
+        ).map_batches(to_pages, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["wpart"]
+        )
+        shutil.rmtree(winners_dir, ignore_errors=True)
+        os.replace(tmp, winners_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+
+    res = run_partitioned(
+        winners_dir,
+        out_dir,
+        num_parts=num_parts,
+        parts_per_chunk=parts_per_chunk,
+        config=config,
+        max_chunks=max_chunks,
+    )
+    res["winners_dir"] = winners_dir
+    return res
