@@ -188,7 +188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / training-data operators over documents
         "clean_documents": T.clean_documents,
         "redact_pii_documents": T.redact_pii_documents,
-        "repetition_stats_documents": T.repetition_stats_documents,
         "decontaminate_documents": T.decontaminate_documents,
         "sentencize_documents": T.sentencize_documents,
         "doc_quality": T.doc_quality,
@@ -270,6 +269,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": lambda sf_dir: LG.triangle_count(
             LG.pages_with_links_parquet_for(sf_dir)
         ),
+        # HITS hubs & authorities: integer-exact alternating half-steps
+        # with a FIXED deg_max·scale normalizer; oracle replays formula
+        # and recurrence bit-for-bit. Rotation: repetition_stats moves
+        # past the cap (map-only stat-replay twin of the in-window
+        # doc_quality / sentencize pair)
+        "host_hits": lambda sf_dir: LG.host_hits(
+            LG.pages_with_links_parquet_for(sf_dir)
+        ),
         # BPE tokenizer training, iteration-1 statistics (the iterative
         # learn loop is bpe_learn_merges below, pytest-oracled)
         "bpe_pair_counts": B.bpe_pair_counts,
@@ -306,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": R.events_sliding,
         "gopher_quality_documents": T.gopher_quality_documents,
         "dedup_exact": T.dedup_exact,
+        "repetition_stats_documents": T.repetition_stats_documents,
         # exiled stable SQL twins (still DuckDB-checked in pytest).
         # r4 rotation: customers_without_orders (0-row anti-join —
         # weakest in-window signal; J5 stays pytest-oracled),
@@ -423,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         HOST_PAGERANK_ORACLE as _LG_PR_ORACLE,
         TRIANGLE_COUNT_ORACLE as _LG_TRI_ORACLE,
         anchor_entity_oracle as _LG_ANCHOR_ORACLE,
+        host_hits_oracle as _LG_HITS_ORACLE,
     )
     from finance_sc_relations_ray.pipelines.text import _minhash_params
     from finance_sc_relations_ray.pipelines.web import (
@@ -1582,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
         # and, for pagerank, the identical int64 recurrence
         "host_link_graph": _LG_ORACLE,
         "anchor_entity_mentions": _LG_ANCHOR_ORACLE(),
+        "host_hits": _LG_HITS_ORACLE(),
         "host_pagerank": _LG_PR_ORACLE,
         "triangle_count": _LG_TRI_ORACLE,
         # integer-exact PageRank: the recursive term replays the same

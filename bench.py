@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     # anchor-text mining: same extraction+sum shape over the
     # (host × entity)-bounded key space
     "anchor_entity_mentions",
+    # HITS hubs/authorities: 2·iters map-only half-steps over the
+    # index-encoded directed edges (pagerank broadcast-mode idiom)
+    "host_hits",
     # composed crawl flagship: url-canonical dedup (winner rows) BEFORE
     # the page-local extraction pool, over content-differing recrawls
     "kg_from_crawl",

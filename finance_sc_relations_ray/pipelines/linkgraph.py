@@ -266,6 +266,50 @@ def host_pagerank(pages_path: str, iters: int = 8) -> "object":
     return ranks.map_batches(rename, batch_format="pyarrow")
 
 
+def host_hits(pages_path: str, iters: int = 4) -> "object":
+    """HITS hubs & authorities over the DIRECTED host graph (the
+    link-analysis complement to PageRank: a good hub points at good
+    authorities, a good authority is pointed at by good hubs — the
+    natural crawl-seed / spam-farm signal). Distinct directed edges,
+    self-loops dropped, then the integer-exact
+    :func:`...graph.hits_edges_ds` core; the DuckDB oracle replays the
+    planting formula AND the alternating half-step recurrence
+    bit-for-bit (recursive CTE; normalization max comes from the
+    previous level — the working table — referenced twice, which
+    DuckDB permits). Returns ``(domain, hub_micro, auth_micro)``."""
+    from ..stages.shuffle import salted_dedup
+    from .graph import hits_edges_ds
+
+    directed = _host_edges(pages_path)
+
+    def distinct_edges(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["src_domain"] != df["dst_domain"]]
+        return pa.table(
+            {
+                "s": pa.array(df["src_domain"], pa.string()),
+                "d": pa.array(df["dst_domain"], pa.string()),
+            }
+        )
+
+    edges = salted_dedup(
+        directed.map_batches(distinct_edges, batch_format="pyarrow"),
+        ["s", "d"],
+    ).select_columns(["s", "d"])
+    ranks = hits_edges_ds(edges, iters=iters, node_type=pa.string())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "domain": batch["node"],
+                "hub_micro": batch["hub_micro"],
+                "auth_micro": batch["auth_micro"],
+            }
+        )
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
 # ----------------------------------------------- triangle counting ----
 
 
@@ -527,6 +571,56 @@ HOST_PAGERANK_ORACLE = f"""
     )
     SELECT node AS domain, r AS rank_micro FROM pr WHERE it = 8
 """
+
+def host_hits_oracle(iters: int = 4) -> str:
+    """Recursive-CTE replay of :func:`host_hits` — alternating
+    half-steps (even levels hold hubs, odd hold authorities), each
+    normalized by the FIXED ``deg_max · scale`` constant (a per-level
+    max would re-reference the recursive working table, whose
+    second-reference semantics are implementation-defined — DuckDB
+    reads the accumulated recursion, measured). Hubs init on
+    ≥1-out-edge nodes, so level row sets are structural (exactly the
+    out-edge / in-edge node sets) and the final FULL JOIN covers every
+    endpoint with COALESCE(0) — matching the engine's dense vectors
+    row-for-row."""
+    from .graph import _HITS_SCALE
+
+    return f"""
+        WITH RECURSIVE {_LINKS_CTE},
+        ed AS (
+            SELECT DISTINCT src_domain AS s, dst_domain AS d
+            FROM links WHERE src_domain <> dst_domain
+        ),
+        dm AS (
+            SELECT max(c)::BIGINT * {_HITS_SCALE} AS m FROM (
+                SELECT count(*) AS c FROM ed GROUP BY s
+                UNION ALL
+                SELECT count(*) AS c FROM ed GROUP BY d
+            )
+        ),
+        lv(it, node, r) AS (
+            SELECT 0, s, {_HITS_SCALE}::BIGINT FROM (
+                SELECT DISTINCT s FROM ed
+            )
+            UNION ALL
+            SELECT lv.it + 1,
+                   CASE WHEN lv.it % 2 = 0 THEN e.d ELSE e.s END,
+                   (sum(lv.r) * {_HITS_SCALE}) // (SELECT m FROM dm)
+            FROM lv JOIN ed e
+              ON (lv.it % 2 = 0 AND e.s = lv.node)
+              OR (lv.it % 2 = 1 AND e.d = lv.node)
+            WHERE lv.it < {2 * iters}
+            GROUP BY lv.it + 1,
+                     CASE WHEN lv.it % 2 = 0 THEN e.d ELSE e.s END
+        )
+        SELECT COALESCE(h.node, a.node) AS domain,
+               COALESCE(h.r, 0)::BIGINT AS hub_micro,
+               COALESCE(a.r, 0)::BIGINT AS auth_micro
+        FROM (SELECT node, r FROM lv WHERE it = {2 * iters}) h
+        FULL JOIN (SELECT node, r FROM lv WHERE it = {2 * iters - 1}) a
+          ON a.node = h.node
+    """
+
 
 TRIANGLE_COUNT_ORACLE = f"""
     WITH {_LINKS_CTE},

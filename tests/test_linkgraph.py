@@ -229,6 +229,45 @@ def test_host_pagerank_hub_outranks_leaves(tmp_path):
         assert hub > int(r.loc[leaf, "rank_micro"])
 
 
+def test_host_hits_star(tmp_path):
+    # hub.com → l1..l3: hub.com is the only hub (leaves have no
+    # out-edges → hub 0); leaves are equal authorities; hub.com has no
+    # in-edges → authority 0
+    p = _mk_pages(
+        tmp_path,
+        [(_url("hub.com", 1), ["l1.com", "l2.com", "l3.com"])],
+    )
+    r = L.host_hits(p).to_pandas().set_index("domain")
+    assert len(r) == 4
+    assert int(r.loc["hub.com", "auth_micro"]) == 0
+    assert int(r.loc["hub.com", "hub_micro"]) > 0
+    leaves = r.loc[["l1.com", "l2.com", "l3.com"]]
+    assert (leaves["hub_micro"] == 0).all()
+    assert leaves["auth_micro"].nunique() == 1
+    assert int(leaves["auth_micro"].iloc[0]) > 0
+
+
+def test_host_hits_good_hub_beats_weak_hub(tmp_path):
+    # h1 points at BOTH popular authorities; h2 points at one popular
+    # authority and one obscure page — h1 must out-hub h2
+    p = _mk_pages(
+        tmp_path,
+        [
+            (_url("h1.com", 1), ["a1.com", "a2.com"]),
+            (_url("h2.com", 2), ["a1.com", "obscure.com"]),
+            (_url("h3.com", 3), ["a1.com", "a2.com"]),
+            (_url("h4.com", 4), ["a2.com"]),
+        ],
+    )
+    r = L.host_hits(p).to_pandas().set_index("domain")
+    assert int(r.loc["h1.com", "hub_micro"]) > int(
+        r.loc["h2.com", "hub_micro"]
+    )
+    assert int(r.loc["a1.com", "auth_micro"]) > int(
+        r.loc["obscure.com", "auth_micro"]
+    )
+
+
 def test_host_pagerank_self_loops_dropped(tmp_path):
     # a page linking only to itself contributes no edges; with one real
     # pair the self-linking host must be absent from the rank table
