@@ -313,7 +313,11 @@ def host_hits(pages_path: str, iters: int = 4) -> "object":
 # ----------------------------------------------- triangle counting ----
 
 
-def triangle_count(pages_path: str, num_buckets: int = 32):
+def triangle_count(
+    pages_path: str,
+    num_buckets: int = 32,
+    local_edges_gate: int = 200_000,
+):
     """Distributed triangle count over the undirected host graph
     (compact-forward with degree ordering).
 
@@ -339,7 +343,16 @@ def triangle_count(pages_path: str, num_buckets: int = 32):
 
     Returns a one-row pandas DataFrame ``{n_triangles}``; the SQL
     oracle replays the planting formula with a three-way self-join.
-    """
+
+    Gate-scale collapse (the merge_parts / minhash count-gated
+    pattern): the distinct undirected edge table is host²-bounded and
+    MATERIALIZED once; when it holds ≤ ``local_edges_gate`` rows, the
+    five downstream exchanges are pure task-launch floor (~3 s at the
+    127-host bench for 381 edges) — compute steps 2-5 locally with the
+    SAME orientation algorithm (equality enforced by running both
+    paths in tests). Above the gate — any real web graph — the
+    distributed plan is unchanged. ``local_edges_gate=0`` disables the
+    collapse."""
     directed = _host_edges(pages_path)
 
     def canonical(batch: pa.Table) -> pa.Table:
@@ -357,7 +370,35 @@ def triangle_count(pages_path: str, num_buckets: int = 32):
         directed.map_batches(canonical, batch_format="pyarrow"),
         ["a", "b"],
         num_buckets=num_buckets,
-    ).select_columns(["a", "b"])
+    ).select_columns(["a", "b"]).materialize()
+
+    if local_edges_gate and int(und.count()) <= local_edges_gate:
+        e = und.to_pandas()
+        a = e["a"].to_numpy()
+        b = e["b"].to_numpy()
+        nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = codes[: len(a)], codes[len(a) :]
+        deg = np.bincount(np.concatenate([ai, bi]), minlength=len(nodes))
+        # orientation key (deg, name): name order == code order
+        key = deg.astype(np.int64) * (len(nodes) + 1) + np.arange(len(nodes))
+        a_first = key[ai] < key[bi]
+        s = np.where(a_first, ai, bi)
+        d = np.where(a_first, bi, ai)
+        # adjacency sets of oriented out-neighbors, then wedge closure
+        order = np.lexsort((key[d], s))
+        s_o, d_o = s[order], d[order]
+        edge_set = set(zip(s.tolist(), d.tolist()))
+        n_tri = 0
+        bounds = np.flatnonzero(s_o[1:] != s_o[:-1]) + 1
+        for nb in np.split(d_o, bounds):
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            n_tri += sum(
+                (int(x), int(y)) in edge_set
+                for x, y in zip(nb[i].tolist(), nb[j].tolist())
+            )
+        return pd.DataFrame({"n_triangles": [int(n_tri)]})
 
     def endpoints(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)

@@ -171,6 +171,28 @@ def test_triangle_count_handcrafted(tmp_path):
     assert int(out["n_triangles"][0]) == 4
 
 
+def test_triangle_count_distributed_path_equals_local(tmp_path):
+    # the gate-scale local collapse must equal the distributed plan
+    # (local_edges_gate=0 forces the five-exchange path) on both the
+    # handcrafted K4+star graph and the planted fixture
+    p = _mk_pages(
+        tmp_path,
+        [
+            (_url("a.com", 1), ["b.com", "c.com", "d.com"]),
+            (_url("b.com", 2), ["c.com", "d.com"]),
+            (_url("c.com", 3), ["d.com"]),
+            (_url("hub.com", 4), ["l1.com", "l2.com", "l3.com"]),
+        ],
+    )
+    local = int(L.triangle_count(p)["n_triangles"][0])
+    dist = int(L.triangle_count(p, local_edges_gate=0)["n_triangles"][0])
+    assert local == dist == 4
+    fixture = L.pages_with_links_parquet_for(SF)
+    assert int(L.triangle_count(fixture)["n_triangles"][0]) == int(
+        L.triangle_count(fixture, local_edges_gate=0)["n_triangles"][0]
+    )
+
+
 def test_triangle_count_no_triangles(tmp_path):
     p = _mk_pages(
         tmp_path,
