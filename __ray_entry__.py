@@ -259,9 +259,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_entity_mentions": lambda sf_dir: LG.anchor_entity_mentions(
             LG.pages_with_links_parquet_for(sf_dir)
         ),
-        # integer-exact PageRank on the host graph; the oracle replays
-        # BOTH the planting formula and the int64 recurrence
-        "host_pagerank": lambda sf_dir: LG.host_pagerank(
+        # crawl-scheduling frontier (late r4): priority = host-PageRank
+        # × staleness over the canonical-url state — the composition
+        # that closes the crawl lifecycle (dedup state × link graph →
+        # next crawl). Its oracle embeds the pagerank recursive CTE
+        # VERBATIM (_PR_CTES), so the rotated-out host_pagerank stays
+        # transitively under the hard hash-match signal
+        "crawl_frontier": lambda sf_dir: LG.crawl_frontier(
             LG.pages_with_links_parquet_for(sf_dir)
         ),
         # distributed triangle count (degree-ordered compact-forward;
@@ -310,6 +314,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gopher_quality_documents (map-only stat twin of the
         # in-window doc_quality/repetition_stats pair)
         "pagerank_lineitem": G.pagerank_lineitem,
+        # late-r4 frontier rotation: host_pagerank moves past the cap —
+        # crawl_frontier's oracle embeds its recursive CTE verbatim, so
+        # the rank recurrence keeps the hard driver signal in-window
+        "host_pagerank": lambda sf_dir: LG.host_pagerank(
+            LG.pages_with_links_parquet_for(sf_dir)
+        ),
         "events_sliding": R.events_sliding,
         "gopher_quality_documents": T.gopher_quality_documents,
         "dedup_exact": T.dedup_exact,
@@ -427,10 +437,12 @@ def oracle_sql() -> dict[str, str]:
         bm25_oracle_sql as _bm25_oracle,
     )
     from finance_sc_relations_ray.pipelines.linkgraph import (
+        FRONTIER_NOW as _LG_FRONTIER_NOW,
         HOST_LINK_GRAPH_ORACLE as _LG_ORACLE,
         HOST_PAGERANK_ORACLE as _LG_PR_ORACLE,
         TRIANGLE_COUNT_ORACLE as _LG_TRI_ORACLE,
         anchor_entity_oracle as _LG_ANCHOR_ORACLE,
+        crawl_frontier_oracle as _LG_FRONTIER_ORACLE,
         host_hits_oracle as _LG_HITS_ORACLE,
     )
     from finance_sc_relations_ray.pipelines.text import _minhash_params
@@ -1594,6 +1606,10 @@ def oracle_sql() -> dict[str, str]:
         "host_hits": _LG_HITS_ORACLE(),
         "host_pagerank": _LG_PR_ORACLE,
         "triangle_count": _LG_TRI_ORACLE,
+        # crawl frontier: embeds the pagerank recurrence verbatim plus
+        # the url/warc_ts synthesis formula and the BIGINT
+        # rank×staleness priority with the (priority DESC, url) cutoff
+        "crawl_frontier": _LG_FRONTIER_ORACLE(now=_LG_FRONTIER_NOW),
         # integer-exact PageRank: the recursive term replays the same
         # int64 recurrence as the engine (floor-div on positives), so
         # ranks match bit-for-bit after 8 iterations

@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     # HITS hubs/authorities: 2·iters map-only half-steps over the
     # index-encoded directed edges (pagerank broadcast-mode idiom)
     "host_hits",
+    # crawl-scheduling frontier: url-state fold × host pagerank
+    # (bucket lookup join) × staleness, per-block local top-k
+    "crawl_frontier",
     # composed crawl flagship: url-canonical dedup (winner rows) BEFORE
     # the page-local extraction pool, over content-differing recrawls
     "kg_from_crawl",

@@ -266,6 +266,136 @@ def host_pagerank(pages_path: str, iters: int = 8) -> "object":
     return ranks.map_batches(rename, batch_format="pyarrow")
 
 
+# ------------------------------------------------ crawl frontier ----
+
+# fixed "now" for the driver gate / bench — strictly after every
+# planted warc_ts (2024-01-01 + doc_id seconds; the largest gate corpus
+# is ~200k pages ≈ 2024-01-03), so staleness is positive everywhere
+FRONTIER_NOW = "2024-06-01 00:00:00"
+
+
+def _priority(rank: np.ndarray, stale_h: np.ndarray) -> np.ndarray:
+    """int64 ``rank × staleness-hours`` with a loud overflow guard
+    (numpy int64 multiplication wraps silently; a wrapped priority
+    would silently re-order the frontier)."""
+    if len(rank) and rank.max() > 0 and int(stale_h.max()) > (
+        2**62
+    ) // int(rank.max()):
+        raise OverflowError(
+            "crawl_frontier: rank × staleness would overflow int64; "
+            "rescale (coarser staleness unit or rank scale)"
+        )
+    return rank * stale_h
+
+
+def crawl_frontier(
+    pages_path: str, now: str = FRONTIER_NOW, k: int = 100
+) -> pd.DataFrame:
+    """Crawl-scheduling frontier: the top-``k`` canonical pages to
+    (re)crawl next, ``priority = host-PageRank × staleness-seconds`` —
+    the standard importance×freshness recrawl policy, and the
+    composition that CLOSES the crawl lifecycle this repo builds
+    (crawl → url-canonical dedup state → link graph → schedule the
+    next crawl). The reference runs the same loop at feed granularity:
+    its ingest stage keys S3 queue state by source feed and re-polls
+    stale feeds first (``/root/reference/src/data_loading/loader.py``,
+    SURVEY.md S4/S14); here the signal is per-page and the importance
+    weight comes from the link graph.
+
+    Distributed plan — every stage reuses an oracled core:
+
+    1. canonical-url state fold (``web._url_state_partials`` +
+       ``_fold_state`` — the url_dedup/url_state kernel): one row per
+       canonical url with ``last_ts`` = newest snapshot; combiner-first,
+       the only corpus-sized exchange.
+    2. host PageRank (:func:`host_pagerank` — integer-exact core); the
+       rank table is host-bounded, never corpus-sized.
+    3. rank attach: :func:`...joins.bucket_lookup_join` (LEFT — an
+       edgeless host ranks 0, it still gets recrawled once its
+       staleness dominates) on the url's host; ``last_ts`` rides the
+       join as int64 epoch seconds.
+    4. ``priority = rank_micro × staleness_hours`` in int64 (staleness
+       is floored to WHOLE HOURS on purpose: total rank mass is 1e12
+       micro, so a host set small enough to concentrate it would
+       overflow int64 against second-granularity staleness, and
+       recrawl scheduling is not sub-hour sensitive; the residual
+       overflow guard raises, never wraps), per-block local top-k,
+       then a driver merge of ≤ blocks×k rows; ties cut
+       deterministically by ``(priority DESC, url ASC)``.
+
+    The DuckDB oracle (:func:`crawl_frontier_oracle`) replays the
+    planting formula AND the pagerank recurrence bit-for-bit, so a
+    wrong rank, a mis-parsed host, a lost url, or a wrong cutoff all
+    hash-mismatch.
+    """
+    from ..stages.joins import bucket_lookup_join
+    from .web import _fold_state, _url_state_partials
+
+    now_epoch = int(pd.Timestamp(now).value // 10**9)
+
+    state = _fold_state(_url_state_partials(pages_path, n_shards=16))
+
+    def to_left(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        dom = df["url"].str.extract(_URL_RE)[0]
+        if dom.isna().any():
+            raise ValueError(
+                f"crawl_frontier: unparseable canonical url "
+                f"{df['url'][dom.isna()].iloc[0]!r}"
+            )
+        epoch_s = (
+            df["last_ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+            // 10**9
+        )
+        return pa.table(
+            {
+                "url": pa.array(df["url"], pa.string()),
+                "domain": pa.array(dom, pa.string()),
+                "last_epoch": pa.array(epoch_s, pa.int64()),
+            }
+        )
+
+    left = state.map_batches(to_left, batch_format="pyarrow")
+    joined = bucket_lookup_join(
+        left,
+        host_pagerank(pages_path),
+        on="domain",
+        right_key="domain",
+        payload={"rank_micro": "rank_micro"},
+        left_schema=pa.schema(
+            [("url", pa.string()), ("domain", pa.string()),
+             ("last_epoch", pa.int64())]
+        ),
+        payload_types={"rank_micro": pa.int64()},
+        how="left",
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        stale_s = now_epoch - df["last_epoch"].to_numpy()
+        if len(stale_s) and stale_s.min() < 0:
+            raise ValueError(
+                "crawl_frontier: a snapshot is newer than `now` — pass "
+                "a `now` at or after the crawl horizon"
+            )
+        rank = df["rank_micro"].fillna(0).to_numpy().astype(np.int64)
+        df = df.assign(
+            rank_micro=rank, priority=_priority(rank, stale_s // 3600)
+        )
+        return df.sort_values(
+            ["priority", "url"], ascending=[False, True]
+        ).head(k)
+
+    parts = joined.map_batches(local_topk, batch_format="pandas")
+    out = parts.to_pandas()  # ≤ n_blocks × k rows — never corpus-sized
+    out = (
+        out.sort_values(["priority", "url"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["last_ts"] = pd.to_datetime(out["last_epoch"], unit="s")
+    return out[["url", "domain", "last_ts", "rank_micro", "priority"]]
+
+
 def host_hits(pages_path: str, iters: int = 4) -> "object":
     """HITS hubs & authorities over the DIRECTED host graph (the
     link-analysis complement to PageRank: a good hub points at good
@@ -588,8 +718,12 @@ def anchor_entity_oracle() -> str:
     """
 
 
-HOST_PAGERANK_ORACLE = f"""
-    WITH RECURSIVE {_LINKS_CTE},
+# integer-exact pagerank recurrence over the planted links — shared
+# verbatim by HOST_PAGERANK_ORACLE and crawl_frontier_oracle, so when
+# only the frontier sits in the driver window the rank recurrence is
+# still under the hard hash-match signal (the simhash_documents-inside-
+# simhash_dup_pairs transitive-check idiom)
+_PR_CTES = """
     ecnt AS (
         SELECT src_domain AS s, dst_domain AS d, count(*)::BIGINT AS w
         FROM links WHERE src_domain <> dst_domain GROUP BY 1, 2
@@ -610,8 +744,45 @@ HOST_PAGERANK_ORACLE = f"""
         WHERE pr.it < 8
         GROUP BY pr.it + 1, e.d
     )
+"""
+
+HOST_PAGERANK_ORACLE = f"""
+    WITH RECURSIVE {_LINKS_CTE},
+    {_PR_CTES}
     SELECT node AS domain, r AS rank_micro FROM pr WHERE it = 8
 """
+
+
+def crawl_frontier_oracle(now: str, k: int = 100) -> str:
+    """Recursive-CTE replay of :func:`crawl_frontier`: the planted-link
+    pagerank recurrence (``_PR_CTES``, verbatim — rank errors
+    hash-mismatch here too), the page url/warc_ts synthesis formula
+    (sources/pages.py:123-124), and the BIGINT
+    ``rank × staleness-hours`` priority with the deterministic
+    ``(priority DESC, url ASC)`` cutoff."""
+    return f"""
+        WITH RECURSIVE {_LINKS_CTE},
+        {_PR_CTES},
+        ranks AS (SELECT node, r FROM pr WHERE it = 8),
+        urls AS (
+            SELECT 'https://example' || CAST(doc_id % 127 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+                   'example' || CAST(doc_id % 127 AS VARCHAR) || '.com'
+                       AS domain,
+                   TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND
+                       AS last_ts
+            FROM documents
+        )
+        SELECT u.url, u.domain, u.last_ts,
+               COALESCE(rk.r, 0)::BIGINT AS rank_micro,
+               COALESCE(rk.r, 0)::BIGINT
+                   * ((epoch(TIMESTAMP '{now}')
+                       - epoch(u.last_ts))::BIGINT // 3600)
+                   AS priority
+        FROM urls u LEFT JOIN ranks rk ON rk.node = u.domain
+        ORDER BY priority DESC, u.url
+        LIMIT {int(k)}
+    """
 
 def host_hits_oracle(iters: int = 4) -> str:
     """Recursive-CTE replay of :func:`host_hits` — alternating

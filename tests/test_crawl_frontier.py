@@ -1,0 +1,151 @@
+"""Structural invariants for the crawl-frontier scheduler
+(pipelines/linkgraph.crawl_frontier) beyond the bit-exact DuckDB
+parity test_queries_vs_duckdb enforces on the planted fixture:
+composition wiring against an engine-rank replay, the recrawl-winner
+staleness semantics (the url-state fold must feed the NEWEST snapshot
+into the priority), the rank-0 (edgeless-host) path, and the two loud
+guards (negative staleness, int64 overflow)."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from finance_sc_relations_ray.pipelines import linkgraph as L
+
+NOW = "2024-06-01 00:00:00"
+
+
+def _mk_pages(tmp_path, rows, name="pages.parquet"):
+    """rows: list of (url, ts, [href hosts])."""
+    urls, tss, htmls = [], [], []
+    for url, ts, links in rows:
+        urls.append(url)
+        tss.append(ts)
+        body = "<p>x</p>" + "".join(
+            f'<a href="https://{h}/page/0">l</a>' for h in links
+        )
+        htmls.append(f"<html><body>{body}</body></html>".encode())
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(["x"] * len(urls), pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        }
+    )
+    p = str(tmp_path / name)
+    pq.write_table(t, p)
+    return p
+
+
+def _u(host, i):
+    return f"https://{host}/page/{i}"
+
+
+A, B, C = "examplea.com", "exampleb.com", "examplec.com"
+T0 = dt.datetime(2024, 1, 1)
+
+
+def test_frontier_matches_rank_times_staleness_replay(tmp_path):
+    """Composition wiring: frontier rows == pandas replay of
+    rank(engine pagerank, itself CTE-oracled) × staleness over the
+    folded urls, cut by (priority DESC, url ASC)."""
+    rows = [
+        (_u(A, 1), T0, [B, C]),
+        (_u(B, 2), dt.datetime(2024, 1, 3), [A]),
+        (_u(C, 3), dt.datetime(2024, 2, 1), [A, B]),
+        (_u(A, 4), dt.datetime(2024, 3, 1), [B]),
+    ]
+    p = _mk_pages(tmp_path, rows)
+    got = L.crawl_frontier(p, now=NOW, k=3)
+
+    ranks = L.host_pagerank(p).to_pandas().set_index("domain")["rank_micro"]
+    now_e = int(pd.Timestamp(NOW).value // 10**9)
+    exp = pd.DataFrame(
+        {
+            "url": [u for u, _, _ in rows],
+            "domain": [u.split("/")[2] for u, _, _ in rows],
+            "last_ts": [t for _, t, _ in rows],
+        }
+    )
+    exp["rank_micro"] = (
+        exp["domain"].map(ranks).fillna(0).astype("int64")
+    )
+    exp["priority"] = exp["rank_micro"] * (
+        (now_e - exp["last_ts"].astype("int64") // 10**9) // 3600
+    )
+    exp = (
+        exp.sort_values(["priority", "url"], ascending=[False, True])
+        .head(3)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()])
+
+
+def test_frontier_uses_newest_snapshot_staleness(tmp_path):
+    """A recrawled page enters the frontier ONCE, at the staleness of
+    its NEWEST snapshot — the url-state fold (max warc_ts per
+    canonical url) is what feeds the priority, including across the
+    canonicalizer (http://www. variant folds into the https url)."""
+    rows = [
+        (_u(A, 1), T0, [B]),
+        # same page, recrawled much later under a messy url variant
+        ("http://www.examplea.com:80/page/1", dt.datetime(2024, 5, 1), [B]),
+        (_u(B, 2), T0, [A]),
+    ]
+    p = _mk_pages(tmp_path, rows)
+    got = L.crawl_frontier(p, now=NOW, k=10)
+    assert len(got) == 2  # two canonical pages, not three snapshots
+    row = got[got["url"] == _u(A, 1)].iloc[0]
+    assert row["last_ts"] == pd.Timestamp("2024-05-01")
+    # priority must be built from the NEWEST snapshot's staleness
+    # (744 h to 2024-06-01), not the January one's (3648 h)
+    assert row["priority"] == row["rank_micro"] * 744
+    row_b = got[got["url"] == _u(B, 2)].iloc[0]
+    assert row_b["priority"] == row_b["rank_micro"] * 3648
+
+
+def test_frontier_rank_zero_hosts_still_scheduled(tmp_path):
+    """A host with no edges at all gets rank 0 (LEFT join), priority 0
+    — present in the output when k allows, cut deterministically by
+    url ASC among the zeros."""
+    rows = [
+        (_u(A, 1), T0, [B]),
+        (_u(B, 2), T0, [A]),
+        (_u(C, 3), T0, []),  # edgeless host
+    ]
+    p = _mk_pages(tmp_path, rows)
+    got = L.crawl_frontier(p, now=NOW, k=10)
+    assert len(got) == 3
+    c_row = got[got["url"] == _u(C, 3)].iloc[0]
+    assert c_row["rank_micro"] == 0 and c_row["priority"] == 0
+    assert got.iloc[-1]["url"] == _u(C, 3)  # zeros sort last
+
+
+def test_frontier_negative_staleness_raises(tmp_path):
+    # the ValueError surfaces wrapped in RayTaskError; match on message
+    p = _mk_pages(tmp_path, [(_u(A, 1), dt.datetime(2025, 1, 1), [B])])
+    with pytest.raises(Exception, match="newer than"):
+        L.crawl_frontier(p, now=NOW, k=5)
+
+
+def test_priority_overflow_guard_raises():
+    """rank × staleness-hours beyond int64 raises loudly instead of
+    wrapping (numpy int64 mul wraps silently — a wrapped priority
+    would silently re-order the frontier). Unreachable for any
+    realistic rank/staleness after the whole-hours flooring, so the
+    guard is unit-tested directly."""
+    import numpy as np
+
+    rank = np.array([10**12], dtype=np.int64)  # all mass on one host
+    stale_h = np.array([10**7], dtype=np.int64)  # ~1,100 years
+    with pytest.raises(OverflowError, match="overflow"):
+        L._priority(rank, stale_h)
+    # and the in-range path is exact
+    assert L._priority(
+        np.array([3, 0], dtype=np.int64), np.array([5, 9], dtype=np.int64)
+    ).tolist() == [15, 0]
