@@ -320,6 +320,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": lambda sf_dir: LG.host_pagerank(
             LG.pages_with_links_parquet_for(sf_dir)
         ),
+        # politeness-capped frontier (past-cap result-twin of the
+        # in-window crawl_frontier: same ranked set through a per-host
+        # row_number window; SQL-oracled in pytest each session)
+        "crawl_frontier_capped": lambda sf_dir: LG.crawl_frontier(
+            LG.pages_with_links_parquet_for(sf_dir), per_host_cap=3
+        ),
         "events_sliding": R.events_sliding,
         "gopher_quality_documents": T.gopher_quality_documents,
         "dedup_exact": T.dedup_exact,
@@ -442,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         HOST_PAGERANK_ORACLE as _LG_PR_ORACLE,
         TRIANGLE_COUNT_ORACLE as _LG_TRI_ORACLE,
         anchor_entity_oracle as _LG_ANCHOR_ORACLE,
+        crawl_frontier_capped_oracle as _LG_FRONTIER_CAP_ORACLE,
         crawl_frontier_oracle as _LG_FRONTIER_ORACLE,
         host_hits_oracle as _LG_HITS_ORACLE,
     )
@@ -1610,6 +1617,9 @@ def oracle_sql() -> dict[str, str]:
         # the url/warc_ts synthesis formula and the BIGINT
         # rank×staleness priority with the (priority DESC, url) cutoff
         "crawl_frontier": _LG_FRONTIER_ORACLE(now=_LG_FRONTIER_NOW),
+        "crawl_frontier_capped": _LG_FRONTIER_CAP_ORACLE(
+            now=_LG_FRONTIER_NOW, per_host_cap=3
+        ),
         # integer-exact PageRank: the recursive term replays the same
         # int64 recurrence as the engine (floor-div on positives), so
         # ranks match bit-for-bit after 8 iterations

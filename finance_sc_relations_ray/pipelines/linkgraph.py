@@ -289,7 +289,10 @@ def _priority(rank: np.ndarray, stale_h: np.ndarray) -> np.ndarray:
 
 
 def crawl_frontier(
-    pages_path: str, now: str = FRONTIER_NOW, k: int = 100
+    pages_path: str,
+    now: str = FRONTIER_NOW,
+    k: int = 100,
+    per_host_cap: int | None = None,
 ) -> pd.DataFrame:
     """Crawl-scheduling frontier: the top-``k`` canonical pages to
     (re)crawl next, ``priority = host-PageRank × staleness-seconds`` —
@@ -323,10 +326,20 @@ def crawl_frontier(
        then a driver merge of ≤ blocks×k rows; ties cut
        deterministically by ``(priority DESC, url ASC)``.
 
+    ``per_host_cap`` adds the POLITENESS constraint every production
+    scheduler carries (a crawler must not burn its whole budget on one
+    important-but-huge host): at most ``per_host_cap`` pages per host
+    enter the ranking. Distributed as per-block per-host top-c (sound
+    local prune: the global per-host top-c is a subset of the union of
+    per-block per-host top-c's) → ONE host-bucketed merge (≤ blocks×c
+    rows per host cross; group count is host-bounded) → the same
+    global top-k funnel.
+
     The DuckDB oracle (:func:`crawl_frontier_oracle`) replays the
-    planting formula AND the pagerank recurrence bit-for-bit, so a
-    wrong rank, a mis-parsed host, a lost url, or a wrong cutoff all
-    hash-mismatch.
+    planting formula AND the pagerank recurrence bit-for-bit (the
+    capped form adds a ``row_number() OVER (PARTITION BY domain …)``
+    window), so a wrong rank, a mis-parsed host, a lost url, a leaked
+    over-cap page, or a wrong cutoff all hash-mismatch.
     """
     from ..stages.joins import bucket_lookup_join
     from .web import _fold_state, _url_state_partials
@@ -370,7 +383,7 @@ def crawl_frontier(
         how="left",
     )
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def add_priority(df: pd.DataFrame) -> pd.DataFrame:
         stale_s = now_epoch - df["last_epoch"].to_numpy()
         if len(stale_s) and stale_s.min() < 0:
             raise ValueError(
@@ -378,14 +391,45 @@ def crawl_frontier(
                 "a `now` at or after the crawl horizon"
             )
         rank = df["rank_micro"].fillna(0).to_numpy().astype(np.int64)
-        df = df.assign(
+        return df.assign(
             rank_micro=rank, priority=_priority(rank, stale_s // 3600)
         )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
             ["priority", "url"], ascending=[False, True]
         ).head(k)
 
-    parts = joined.map_batches(local_topk, batch_format="pandas")
+    scored = joined.map_batches(add_priority, batch_format="pandas")
+    if per_host_cap is not None:
+        from ..stages.joins import NO_FUSE_NUM_CPUS
+
+        c = int(per_host_cap)
+        if c < 1:
+            raise ValueError("crawl_frontier: per_host_cap must be >= 1")
+
+        def host_cap_local(df: pd.DataFrame) -> pd.DataFrame:
+            return (
+                df.sort_values(["priority", "url"], ascending=[False, True])
+                .groupby("domain", sort=False)
+                .head(c)
+            )
+
+        def host_cap_merge(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(
+                ["priority", "url"], ascending=[False, True]
+            ).head(c)
+
+        scored = (
+            scored.map_batches(host_cap_local, batch_format="pandas")
+            .groupby("domain")
+            .map_groups(
+                host_cap_merge,
+                batch_format="pandas",
+                num_cpus=NO_FUSE_NUM_CPUS,
+            )
+        )
+    parts = scored.map_batches(local_topk, batch_format="pandas")
     out = parts.to_pandas()  # ≤ n_blocks × k rows — never corpus-sized
     out = (
         out.sort_values(["priority", "url"], ascending=[False, True])
@@ -751,6 +795,48 @@ HOST_PAGERANK_ORACLE = f"""
     {_PR_CTES}
     SELECT node AS domain, r AS rank_micro FROM pr WHERE it = 8
 """
+
+
+def crawl_frontier_capped_oracle(
+    now: str, k: int = 100, per_host_cap: int = 3
+) -> str:
+    """Replay of the politeness-capped frontier: the uncapped ranked
+    set (pagerank recurrence verbatim, as in
+    :func:`crawl_frontier_oracle`) filtered by a
+    ``row_number() OVER (PARTITION BY domain ORDER BY priority DESC,
+    url)`` window before the same global cutoff."""
+    return f"""
+        WITH RECURSIVE {_LINKS_CTE},
+        {_PR_CTES},
+        ranks AS (SELECT node, r FROM pr WHERE it = 8),
+        urls AS (
+            SELECT 'https://example' || CAST(doc_id % 127 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+                   'example' || CAST(doc_id % 127 AS VARCHAR) || '.com'
+                       AS domain,
+                   TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND
+                       AS last_ts
+            FROM documents
+        ),
+        ranked AS (
+            SELECT u.url, u.domain, u.last_ts,
+                   COALESCE(rk.r, 0)::BIGINT AS rank_micro,
+                   COALESCE(rk.r, 0)::BIGINT
+                       * ((epoch(TIMESTAMP '{now}')
+                           - epoch(u.last_ts))::BIGINT // 3600)
+                       AS priority
+            FROM urls u LEFT JOIN ranks rk ON rk.node = u.domain
+        )
+        SELECT url, domain, last_ts, rank_micro, priority
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY domain ORDER BY priority DESC, url
+            ) AS rn FROM ranked
+        )
+        WHERE rn <= {int(per_host_cap)}
+        ORDER BY priority DESC, url
+        LIMIT {int(k)}
+    """
 
 
 def crawl_frontier_oracle(now: str, k: int = 100) -> str:

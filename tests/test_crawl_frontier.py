@@ -126,6 +126,32 @@ def test_frontier_rank_zero_hosts_still_scheduled(tmp_path):
     assert got.iloc[-1]["url"] == _u(C, 3)  # zeros sort last
 
 
+def test_frontier_per_host_cap_binds(tmp_path):
+    """Politeness cap: at most c pages per host enter the ranking,
+    and the winners are each host's HIGHEST-priority (= stalest)
+    pages; the freed budget goes to other hosts."""
+    rows = (
+        # host A: 4 pages, staleness decreasing with the ts
+        [(_u(A, i), dt.datetime(2024, 1, i), [B]) for i in range(1, 5)]
+        + [(_u(B, 9), T0, [A])]
+    )
+    p = _mk_pages(tmp_path, rows)
+    uncapped = L.crawl_frontier(p, now=NOW, k=4)
+    capped = L.crawl_frontier(p, now=NOW, k=4, per_host_cap=2)
+    got_a = capped[capped["domain"] == A]["url"].tolist()
+    assert got_a == [_u(A, 1), _u(A, 2)]  # stalest two of host A
+    # B/page/9 ties A/page/1 (equal rank by 2-node symmetry, equal
+    # staleness hours) and cuts in by url ASC; A/page/3-4 are capped out
+    assert capped["url"].tolist() == [_u(A, 1), _u(B, 9), _u(A, 2)]
+    # the cap observably changed the answer: uncapped k=4 takes A3 too
+    assert uncapped["url"].tolist() == [
+        _u(A, 1), _u(B, 9), _u(A, 2), _u(A, 3)
+    ]
+
+    with pytest.raises(ValueError, match="per_host_cap"):
+        L.crawl_frontier(p, now=NOW, k=3, per_host_cap=0)
+
+
 def test_frontier_negative_staleness_raises(tmp_path):
     # the ValueError surfaces wrapped in RayTaskError; match on message
     p = _mk_pages(tmp_path, [(_u(A, 1), dt.datetime(2025, 1, 1), [B])])
