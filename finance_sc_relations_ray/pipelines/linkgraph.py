@@ -293,6 +293,7 @@ def crawl_frontier(
     now: str = FRONTIER_NOW,
     k: int = 100,
     per_host_cap: int | None = None,
+    state_dir: str | None = None,
 ) -> pd.DataFrame:
     """Crawl-scheduling frontier: the top-``k`` canonical pages to
     (re)crawl next, ``priority = host-PageRank × staleness-seconds`` —
@@ -326,6 +327,15 @@ def crawl_frontier(
        then a driver merge of ≤ blocks×k rows; ties cut
        deterministically by ``(priority DESC, url ASC)``.
 
+    ``state_dir`` is the PRODUCTION shape: read the persisted
+    canonical-url state (``web.build_url_state`` /
+    ``update_url_state`` — the artifact each crawl delta merges
+    SHARD-PRUNED) instead of re-folding the corpus, so at a daily
+    cadence the frontier pays the host-bounded rank join and the
+    state read only — the corpus-sized fold happened incrementally,
+    delta by delta. Equality with the one-shot fold is pytest-enforced
+    (the state IS the fold, persisted).
+
     ``per_host_cap`` adds the POLITENESS constraint every production
     scheduler carries (a crawler must not burn its whole budget on one
     important-but-huge host): at most ``per_host_cap`` pages per host
@@ -346,7 +356,19 @@ def crawl_frontier(
 
     now_epoch = int(pd.Timestamp(now).value // 10**9)
 
-    state = _fold_state(_url_state_partials(pages_path, n_shards=16))
+    if state_dir is not None:
+        import ray.data
+
+        paths = [
+            os.path.join(state_dir, n, f)
+            for n in sorted(os.listdir(state_dir))
+            if n.startswith("shard=")
+            for f in sorted(os.listdir(os.path.join(state_dir, n)))
+            if f.endswith(".parquet")
+        ]
+        state = ray.data.read_parquet(paths, columns=["url", "last_ts"])
+    else:
+        state = _fold_state(_url_state_partials(pages_path, n_shards=16))
 
     def to_left(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

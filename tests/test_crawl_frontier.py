@@ -152,6 +152,43 @@ def test_frontier_per_host_cap_binds(tmp_path):
         L.crawl_frontier(p, now=NOW, k=3, per_host_cap=0)
 
 
+def test_frontier_from_persisted_state_equals_one_shot(tmp_path):
+    """Production shape: the frontier read from the PERSISTED url
+    state (base build + a recrawl delta through the shard-pruned
+    incremental merge) equals the one-shot corpus fold row-for-row —
+    the state IS the fold, maintained delta by delta."""
+    import pyarrow.dataset as pads
+
+    from finance_sc_relations_ray.pipelines import web as W
+
+    base_rows = [
+        (_u(A, 1), T0, [B, C]),
+        (_u(B, 2), T0, [A]),
+        (_u(C, 3), dt.datetime(2024, 2, 1), [A]),
+    ]
+    delta_rows = [
+        # recrawl of A/page/1 under a messy variant, much later
+        ("http://www.examplea.com:80/page/1", dt.datetime(2024, 5, 1), [B]),
+    ]
+    base = _mk_pages(tmp_path, base_rows, name="base.parquet")
+    delta = _mk_pages(tmp_path, delta_rows, name="delta.parquet")
+    all_pages = _mk_pages(tmp_path, base_rows + delta_rows, name="all.parquet")
+
+    s0 = str(tmp_path / "state0")
+    s1 = str(tmp_path / "state1")
+    W.build_url_state(base, s0, n_shards=4)
+    W.update_url_state(s0, delta, s1)
+
+    # ranks come from the full crawl in both forms (the link graph is
+    # host-bounded; only the url fold is what the state replaces)
+    got = L.crawl_frontier(all_pages, now=NOW, k=10, state_dir=s1)
+    exp = L.crawl_frontier(all_pages, now=NOW, k=10)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got[got["url"] == _u(A, 1)].iloc[0]["last_ts"] == pd.Timestamp(
+        "2024-05-01"
+    )
+
+
 def test_frontier_negative_staleness_raises(tmp_path):
     # the ValueError surfaces wrapped in RayTaskError; match on message
     p = _mk_pages(tmp_path, [(_u(A, 1), dt.datetime(2025, 1, 1), [B])])
