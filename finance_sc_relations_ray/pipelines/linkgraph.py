@@ -294,9 +294,10 @@ def crawl_frontier(
     k: int = 100,
     per_host_cap: int | None = None,
     state_dir: str | None = None,
+    ranks: "object | None" = None,
 ) -> pd.DataFrame:
     """Crawl-scheduling frontier: the top-``k`` canonical pages to
-    (re)crawl next, ``priority = host-PageRank × staleness-seconds`` —
+    (re)crawl next, ``priority = host-PageRank × staleness-hours`` —
     the standard importance×freshness recrawl policy, and the
     composition that CLOSES the crawl lifecycle this repo builds
     (crawl → url-canonical dedup state → link graph → schedule the
@@ -327,14 +328,17 @@ def crawl_frontier(
        then a driver merge of ≤ blocks×k rows; ties cut
        deterministically by ``(priority DESC, url ASC)``.
 
-    ``state_dir`` is the PRODUCTION shape: read the persisted
-    canonical-url state (``web.build_url_state`` /
+    ``state_dir`` replaces the corpus-sized url fold with a read of
+    the persisted canonical-url state (``web.build_url_state`` /
     ``update_url_state`` — the artifact each crawl delta merges
-    SHARD-PRUNED) instead of re-folding the corpus, so at a daily
-    cadence the frontier pays the host-bounded rank join and the
-    state read only — the corpus-sized fold happened incrementally,
-    delta by delta. Equality with the one-shot fold is pytest-enforced
-    (the state IS the fold, persisted).
+    SHARD-PRUNED); equality with the one-shot fold is pytest-enforced
+    (the state IS the fold, persisted). NOTE: the RANK side still
+    scans the corpus html to rebuild the link graph unless ``ranks``
+    is also supplied — the full delta-cost production shape is
+    ``state_dir=`` + ``ranks=`` (a precomputed ``(domain,
+    rank_micro)`` Dataset, e.g. ``host_pagerank`` output persisted
+    alongside the url state and refreshed at its own, slower
+    cadence — rank moves far slower than staleness).
 
     ``per_host_cap`` adds the POLITENESS constraint every production
     scheduler carries (a crawler must not burn its whole budget on one
@@ -351,22 +355,16 @@ def crawl_frontier(
     window), so a wrong rank, a mis-parsed host, a lost url, a leaked
     over-cap page, or a wrong cutoff all hash-mismatch.
     """
-    from ..stages.joins import bucket_lookup_join
-    from .web import _fold_state, _url_state_partials
+    from .web import _fold_state, _url_state_partials, state_parquet_paths
 
     now_epoch = int(pd.Timestamp(now).value // 10**9)
 
     if state_dir is not None:
         import ray.data
 
-        paths = [
-            os.path.join(state_dir, n, f)
-            for n in sorted(os.listdir(state_dir))
-            if n.startswith("shard=")
-            for f in sorted(os.listdir(os.path.join(state_dir, n)))
-            if f.endswith(".parquet")
-        ]
-        state = ray.data.read_parquet(paths, columns=["url", "last_ts"])
+        state = ray.data.read_parquet(
+            state_parquet_paths(state_dir), columns=["url", "last_ts"]
+        )
     else:
         state = _fold_state(_url_state_partials(pages_path, n_shards=16))
 
@@ -393,7 +391,7 @@ def crawl_frontier(
     left = state.map_batches(to_left, batch_format="pyarrow")
     joined = bucket_lookup_join(
         left,
-        host_pagerank(pages_path),
+        host_pagerank(pages_path) if ranks is None else ranks,
         on="domain",
         right_key="domain",
         payload={"rank_micro": "rank_micro"},
@@ -424,8 +422,6 @@ def crawl_frontier(
 
     scored = joined.map_batches(add_priority, batch_format="pandas")
     if per_host_cap is not None:
-        from ..stages.joins import NO_FUSE_NUM_CPUS
-
         c = int(per_host_cap)
         if c < 1:
             raise ValueError("crawl_frontier: per_host_cap must be >= 1")

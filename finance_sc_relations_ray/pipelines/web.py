@@ -493,20 +493,26 @@ def update_url_state(
     return out_dir
 
 
-def read_url_state(state_dir: str) -> pd.DataFrame:
-    """(url, n_dups, last_ts) rows of a persisted state (all shards),
-    sorted by url — the comparison/reporting shim."""
-    import ray.data
-
-    paths = [
+def state_parquet_paths(state_dir: str) -> list[str]:
+    """Parquet files of a persisted url state's ``shard=<k>/`` dirs —
+    the single place that knows the on-disk layout (consumed by
+    :func:`read_url_state` and ``linkgraph.crawl_frontier``)."""
+    return [
         os.path.join(state_dir, n, f)
         for n in sorted(os.listdir(state_dir))
         if n.startswith("shard=")
         for f in sorted(os.listdir(os.path.join(state_dir, n)))
         if f.endswith(".parquet")
     ]
+
+
+def read_url_state(state_dir: str) -> pd.DataFrame:
+    """(url, n_dups, last_ts) rows of a persisted state (all shards),
+    sorted by url — the comparison/reporting shim."""
+    import ray.data
+
     out = ray.data.read_parquet(
-        paths, columns=["url", "n_dups", "last_ts"]
+        state_parquet_paths(state_dir), columns=["url", "n_dups", "last_ts"]
     ).to_pandas()
     return out.sort_values("url").reset_index(drop=True)
 

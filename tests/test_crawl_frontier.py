@@ -156,9 +156,9 @@ def test_frontier_from_persisted_state_equals_one_shot(tmp_path):
     """Production shape: the frontier read from the PERSISTED url
     state (base build + a recrawl delta through the shard-pruned
     incremental merge) equals the one-shot corpus fold row-for-row —
-    the state IS the fold, maintained delta by delta."""
-    import pyarrow.dataset as pads
-
+    the state IS the fold, maintained delta by delta. With ``ranks=``
+    supplied too (the persisted-rank production shape), no corpus
+    input is consulted at all."""
     from finance_sc_relations_ray.pipelines import web as W
 
     base_rows = [
@@ -184,6 +184,15 @@ def test_frontier_from_persisted_state_equals_one_shot(tmp_path):
     got = L.crawl_frontier(all_pages, now=NOW, k=10, state_dir=s1)
     exp = L.crawl_frontier(all_pages, now=NOW, k=10)
     pd.testing.assert_frame_equal(got, exp)
+
+    # full production shape: persisted state + injected rank table —
+    # pages_path is never read (proven by passing a bogus path)
+    ranks = L.host_pagerank(all_pages).materialize()
+    got2 = L.crawl_frontier(
+        str(tmp_path / "does-not-exist.parquet"),
+        now=NOW, k=10, state_dir=s1, ranks=ranks,
+    )
+    pd.testing.assert_frame_equal(got2, exp)
     assert got[got["url"] == _u(A, 1)].iloc[0]["last_ts"] == pd.Timestamp(
         "2024-05-01"
     )
