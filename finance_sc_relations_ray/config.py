@@ -99,6 +99,41 @@ def actor_resources(config: "KGConfig") -> dict:
     return kw
 
 
+def exchange_fanout(num_buckets: int | None = None, floor: int = 64) -> int:
+    """Cluster-size-derived fan-out for hash-bucketed exchanges
+    (r4 verdict #1: literal ``% 64`` / ``num_buckets=64`` capped every
+    all-to-all at 64 reducers regardless of cluster size).
+
+    Resolution order — explicit caller value, ``GRAFT_NUM_BUCKETS``
+    env override, then ``max(floor, 2 × cluster CPUs)`` from
+    ``ray.cluster_resources()`` (falling back to ``os.cpu_count()``
+    when Ray is not yet initialised). Called at PLAN time on the
+    driver — the resolved int is closed over by the batch fns, so
+    workers never re-resolve it and a run's bucket routing is
+    self-consistent. Bucket count is partitioning-only: results are
+    multiset-identical at ANY value (pytest-enforced at
+    ``GRAFT_NUM_BUCKETS=7`` against the DuckDB oracles,
+    tests/test_bucket_invariance.py)."""
+    if num_buckets is not None:
+        return int(num_buckets)
+    import os as _os
+
+    env = _os.environ.get("GRAFT_NUM_BUCKETS")
+    if env:
+        return int(env)
+    cpus = 0
+    try:
+        import ray as _ray
+
+        if _ray.is_initialized():
+            cpus = int(_ray.cluster_resources().get("CPU", 0) or 0)
+    except Exception:
+        cpus = 0
+    if cpus <= 0:
+        cpus = _os.cpu_count() or 8
+    return max(int(floor), 2 * cpus)
+
+
 INVERSE_RELATION = {"supplier": "customer", "customer": "supplier", "other": "other"}
 
 DEFAULT_CONFIG = KGConfig()

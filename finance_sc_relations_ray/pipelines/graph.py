@@ -160,10 +160,11 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         payload={"df": "df"},
         left_schema=_TF_SCHEMA,
         payload_types={"df": pa.int64()},
-        num_buckets=64,
     )
 
-    num_doc_buckets = 64
+    from ..config import exchange_fanout
+
+    num_doc_buckets = exchange_fanout()
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (batch["doc_id"].to_numpy(zero_copy_only=False) % num_doc_buckets)
@@ -390,7 +391,6 @@ def token_pmi_pairs(
         payload={"df": "n_a"},
         left_schema=pair_schema,
         payload_types={"n_a": pa.int64()},
-        num_buckets=64,
     )
     with_nb = bucket_lookup_join(
         with_na,
@@ -400,7 +400,6 @@ def token_pmi_pairs(
         payload={"df": "n_b"},
         left_schema=pair_schema.append(pa.field("n_a", pa.int64())),
         payload_types={"n_b": pa.int64()},
-        num_buckets=64,
     )
 
     def score(batch: pa.Table) -> pa.Table:
@@ -436,7 +435,7 @@ def pagerank_edges_ds(
     edges: "ray.data.Dataset",
     iters: int = 8,
     node_type: pa.DataType = pa.int64(),
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     rank_broadcast_max_bytes: int = 128 << 20,
 ) -> "ray.data.Dataset":
     """Integer-exact distributed PageRank core over a SYMMETRIC

@@ -507,7 +507,7 @@ def host_hits(pages_path: str, iters: int = 4) -> "object":
 
 def triangle_count(
     pages_path: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     local_edges_gate: int = 200_000,
 ):
     """Distributed triangle count over the undirected host graph
@@ -545,6 +545,9 @@ def triangle_count(
     paths in tests). Above the gate — any real web graph — the
     distributed plan is unchanged. ``local_edges_gate=0`` disables the
     collapse."""
+    from ..config import exchange_fanout
+
+    num_buckets = exchange_fanout(num_buckets, floor=32)
     directed = _host_edges(pages_path)
 
     def canonical(batch: pa.Table) -> pa.Table:

@@ -18,7 +18,6 @@ from ray.data.aggregate import Count, Sum
 
 from ..functions.fuzzy import stratified_doc_split
 from ..functions.rounding import round_half_away
-from ..functions.textops import token_count
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
@@ -54,14 +53,21 @@ def token_length_quantiles(sf_dir: str) -> pd.DataFrame:
     per-document vector (which at 10^12 docs IS the dataset)."""
 
     def hist(batch: pa.Table) -> pa.Table:
-        vals: dict[int, int] = {}
-        for t in batch["text"].to_pylist():
-            n = token_count(t)
-            vals[n] = vals.get(n, 0) + 1
+        # vectorized RE2 token count (the token_counts kernel; r4
+        # verdict #3 replaced the per-row Python-re loop) + np.unique
+        # histogram. RE2 '\S+' is what the DuckDB oracle counts too.
+        import pyarrow.compute as pc
+
+        n = (
+            pc.count_substring_regex(batch["text"], r"[^ \t\n\f\r]+")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        vals, counts = np.unique(n, return_counts=True)
         return pa.table(
             {
-                "n_tokens": pa.array(list(vals.keys()), pa.int64()),
-                "c": pa.array(list(vals.values()), pa.int64()),
+                "n_tokens": pa.array(vals, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
@@ -336,6 +342,9 @@ def _emb_lsh_funnel_ds(
     from ..sources.io import candidate_filtered_read
     from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
     from ..stages.shuffle import distinct_pair_ids_ds, distinct_pairs_ds
+    from ..config import exchange_fanout
+
+    n_coarse = exchange_fanout()
 
     def band_rows_ids(batch: pa.Table) -> pa.Table:
         """vec rows → n_bands id-only band rows; band_hash packs the
@@ -366,7 +375,7 @@ def _emb_lsh_funnel_ds(
         bh = np.asarray(batch["band_hash"].to_pylist()).astype(np.uint64)
         coarse = (
             ((bi * np.uint64(0x9E3779B97F4A7C15)) ^ (bh + np.uint64(1)))
-            % 64
+            % np.uint64(n_coarse)
         ).astype(np.int32)
         return batch.append_column("coarse", pa.array(coarse, pa.int32()))
 
@@ -443,7 +452,7 @@ def _emb_lsh_funnel_ds(
 
     lt = pa.list_(pa.float32())
     schema1 = pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())])
-    nb = int(min(32, max(n_pairs, n_need) // 50_000 + 1))
+    nb = int(min(exchange_fanout(floor=32), max(n_pairs, n_need) // 50_000 + 1))
     j1 = bucket_lookup_join(
         pairs_ds, cand, on="vec_id_a", right_key="vec_id",
         payload={"embedding": "emb_a"}, left_schema=schema1,
@@ -545,8 +554,10 @@ def embedding_dup_pairs_lsh_ds(
     the star cap is NOT modeled by the exact-all-pairs SQL oracle, so
     fail loudly instead of hash-mismatching confusingly; mirrors
     ``_minhash_pairs_ds``)."""
+    from ..config import exchange_fanout
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
+    n_coarse = exchange_fanout()
     r, n_bands = lsh_pair_params(threshold, target_miss, max_bands)
 
     if band_payload == "ids":
@@ -593,7 +604,7 @@ def embedding_dup_pairs_lsh_ds(
         bh = np.asarray(batch["band_hash"].to_pylist()).astype(np.uint64)
         coarse = (
             ((bi * np.uint64(0x9E3779B97F4A7C15)) ^ (bh + np.uint64(1)))
-            % 64
+            % np.uint64(n_coarse)
         ).astype(np.int32)
         return batch.append_column("coarse", pa.array(coarse, pa.int32()))
 

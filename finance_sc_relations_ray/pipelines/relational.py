@@ -484,9 +484,15 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     # coarse co-partitioning: one map_groups call handles many users
     # (per-group overhead amortized; see doc-agg bucketing)
+    from ..config import exchange_fanout
+
+    nb = exchange_fanout(floor=32)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = [int(u) % 32 for u in batch["user_id"].to_pylist()]
-        return batch.append_column("bucket", pa.array(b, pa.int32()))
+        b = batch["user_id"].to_numpy(zero_copy_only=False) % nb
+        return batch.append_column(
+            "bucket", pa.array(b.astype(np.int32), pa.int32())
+        )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         # whole-bucket vectorized: one sort, one diff, one cumsum over
@@ -638,8 +644,12 @@ def events_user_cumsum(sf_dir: str) -> "ray.data.Dataset":
     bit-exact against DuckDB's window sum."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    from ..config import exchange_fanout
+
+    nb = exchange_fanout(floor=32)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = batch["user_id"].to_numpy(zero_copy_only=False) % 32
+        b = batch["user_id"].to_numpy(zero_copy_only=False) % nb
         return batch.append_column(
             "bucket", pa.array(b.astype(np.int32), pa.int32())
         )
@@ -691,8 +701,12 @@ def events_rolling(sf_dir: str, window: int = 7) -> "ray.data.Dataset":
     """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    from ..config import exchange_fanout
+
+    nb = exchange_fanout(floor=32)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = batch["user_id"].to_numpy(zero_copy_only=False) % 32
+        b = batch["user_id"].to_numpy(zero_copy_only=False) % nb
         return batch.append_column(
             "bucket", pa.array(b.astype(np.int32), pa.int32())
         )
@@ -771,7 +785,6 @@ def segment_order_stats_bucket_join(sf_dir: str) -> pd.DataFrame:
             ]
         ),
         payload_types={"c_mktsegment": pa.string()},
-        num_buckets=32,
     )
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -573,10 +573,11 @@ def bm25_search_indexed(
         payload={"dl": "dl"},
         left_schema=_EXPLODED_SCHEMA,
         payload_types={"dl": pa.int64()},
-        num_buckets=32,
     )
 
-    n_buckets = 32
+    from ..config import exchange_fanout
+
+    n_buckets = exchange_fanout(floor=32)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = batch["doc_id"].to_numpy(zero_copy_only=False) % n_buckets

@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..config import exchange_fanout
 from ..sources.io import sized_read_parquet
 from ray.data.aggregate import Count, Min, Sum
 
@@ -550,9 +551,11 @@ def _minhash_pairs_ds(
     # co-partition LSH buckets by a coarse hash so each map_groups call
     # processes MANY buckets (per-group overhead amortized — the same
     # bucketed-groupby trick as the doc aggregation)
+    n_coarse = exchange_fanout()
+
     def add_coarse(batch: pa.Table) -> pa.Table:
         coarse = [
-            zlib.crc32(f"{bi}:{bh}".encode()) % 64
+            zlib.crc32(f"{bi}:{bh}".encode()) % n_coarse
             for bi, bh in zip(
                 batch["band_id"].to_pylist(), batch["band_hash"].to_pylist()
             )
@@ -943,7 +946,7 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
         left_schema=pa.schema(
             [("doc_id", pa.int64()), ("tok", pa.string()), ("k", pa.int64())]
         ),
-        payload_types={"li": pa.int64()}, num_buckets=64,
+        payload_types={"li": pa.int64()},
     )
 
     def partial_doc(batch: pa.Table) -> pa.Table:
@@ -981,7 +984,7 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
 
 # ------------------------------------- C4 span-level exact dedup -------
 def span_dedup_documents(
-    sf_dir: str, n_sent: int = 3, num_buckets: int = 64,
+    sf_dir: str, n_sent: int = 3, num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """C4-style duplicate-span removal (Raffel et al. 2020 §2.2:
     "we discarded all but one of any three-sentence span occurring more
@@ -1006,6 +1009,7 @@ def span_dedup_documents(
     part of its own document row). Exactly TWO all-to-all exchanges.
     The DuckDB oracle replicates it with window functions over the
     sentencize CTE (n_sent pinned to 3 there)."""
+    num_buckets = exchange_fanout(num_buckets)
     import hashlib
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
@@ -1198,6 +1202,8 @@ def _ngram_jaccard_pairs_ds(
     scale path — pairs sharing ONLY ultra-common shingles are below any
     useful threshold anyway), logged, at the cost of exactness."""
 
+    n_coarse = exchange_fanout()
+
     def explode(batch: pa.Table) -> pa.Table:
         """doc rows → (doc_id, shingle, |shingles(doc)|, coarse bucket).
         The per-doc count RIDES ALONG each shingle row: a pair stage
@@ -1221,7 +1227,7 @@ def _ngram_jaccard_pairs_ds(
                 "g": pa.array(grams, pa.string()),
                 "n": pa.array(ns, pa.int64()),
                 "coarse": pa.array(
-                    [zlib.crc32(x.encode("utf-8")) % 64 for x in grams],
+                    [zlib.crc32(x.encode("utf-8")) % n_coarse for x in grams],
                     pa.int32(),
                 ),
             }
@@ -1495,7 +1501,7 @@ def _alternating_star_labels(
 
 def dup_clusters(
     sf_dir: str, threshold: float = 0.8, n: int = 3, max_iter: int = 30,
-    num_buckets: int = 64, method: str = "propagation",
+    num_buckets: int | None = None, method: str = "propagation",
 ) -> pd.DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact
     n-gram-Jaccard pair graph, then a cluster id per document
@@ -1528,6 +1534,7 @@ def dup_clusters(
     attached at the end via a left bucket join, never iterated.
     """
     pairs = _ngram_jaccard_pairs_ds(sf_dir, threshold, n, None)
+    num_buckets = exchange_fanout(num_buckets)
     docs = _read(sf_dir, ["doc_id"])
     labels = _pair_graph_labels(pairs, max_iter, num_buckets, method)
     if labels is None:
@@ -1541,7 +1548,7 @@ def dup_clusters(
 def _pair_graph_labels(
     pairs: "ray.data.Dataset",
     max_iter: int = 30,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     method: str = "propagation",
 ) -> "ray.data.Dataset | None":
     """Connected-component labels over a pair Dataset
@@ -1552,6 +1559,8 @@ def _pair_graph_labels(
     in any pair gets a row; by hash-to-min monotonicity the component
     minimum's label is itself."""
     from ..stages.joins import NO_FUSE_NUM_CPUS, bucket_lookup_join
+
+    num_buckets = exchange_fanout(num_buckets)
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
@@ -1703,7 +1712,7 @@ def curate_documents_ds(
     num_perm: int = 64,
     bands: int = 16,
     max_iter: int = 30,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     on_degenerate: str = "star",
     method: str = "propagation",
 ) -> "ray.data.Dataset":
@@ -1739,6 +1748,8 @@ def curate_documents_ds(
     Oracle: the full composition is SQL-expressible (bit-exact MinHash
     constants + recursive-CTE components) — see
     ``oracle_sql()['curate_documents']``."""
+    num_buckets = exchange_fanout(num_buckets)
+    n_hb = exchange_fanout()
     import pyarrow.dataset as pads
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
@@ -1768,7 +1779,7 @@ def curate_documents_ds(
             {
                 "h": pa.array(hs, pa.string()),
                 "hb": pa.array(
-                    [zlib.crc32(x.encode()) % 64 for x in hs], pa.int32()
+                    [zlib.crc32(x.encode()) % n_hb for x in hs], pa.int32()
                 ),
                 "doc_id": pa.array([best[x][0] for x in hs], pa.int64()),
                 "text": pa.array([best[x][1] for x in hs], pa.string()),
@@ -1851,6 +1862,7 @@ def part_winners_ds(gated: "ray.data.Dataset") -> "ray.data.Dataset":
     runner's mergeability contract (pipelines/run.curate_partitioned).
     Combiner-first: each batch emits one candidate row per (part, h),
     then one bucketed exchange reduces per part."""
+    n_hb = exchange_fanout()
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
     def hash_partial(batch: pa.Table) -> pa.Table:
@@ -1871,7 +1883,7 @@ def part_winners_ds(gated: "ray.data.Dataset") -> "ray.data.Dataset":
                 "__part": pa.array([k[0] for k in keys], pa.int32()),
                 "h": pa.array([k[1] for k in keys], pa.string()),
                 "hb": pa.array(
-                    [zlib.crc32(k[1].encode()) % 64 for k in keys], pa.int32()
+                    [zlib.crc32(k[1].encode()) % n_hb for k in keys], pa.int32()
                 ),
                 "doc_id": pa.array([best[k][0] for k in keys], pa.int64()),
                 "text": pa.array([best[k][1] for k in keys], pa.string()),
@@ -1897,7 +1909,7 @@ def curate_from_winners_ds(
     num_perm: int = 64,
     bands: int = 16,
     max_iter: int = 30,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     on_degenerate: str = "star",
     method: str = "propagation",
 ) -> "ray.data.Dataset":
@@ -1907,10 +1919,12 @@ def curate_from_winners_ds(
     per-part partials), then run the shared near-dup tail. Equals the
     one-shot :func:`curate_documents_ds` row-for-row on the same
     input."""
+    num_buckets = exchange_fanout(num_buckets)
+    n_hb = exchange_fanout()
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
     def add_hb(batch: pa.Table) -> pa.Table:
-        hb = [zlib.crc32(h.encode()) % 64 for h in batch["h"].to_pylist()]
+        hb = [zlib.crc32(h.encode()) % n_hb for h in batch["h"].to_pylist()]
         return batch.append_column("hb", pa.array(hb, pa.int32()))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -2099,6 +2113,7 @@ def simhash_dup_pairs(
     ``_minhash_pairs_ds`` (``on_degenerate``: "star" logs and emits
     star pairs — still popcount-verified — "raise" fails loudly in
     oracle-gated contexts where the cap is not modeled in SQL)."""
+    n_coarse = exchange_fanout()
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64): {max_hamming}")
     n_bands = max_hamming + 1
@@ -2134,7 +2149,7 @@ def simhash_dup_pairs(
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         coarse = [
-            zlib.crc32(f"{bi}:{bv}".encode()) % 64
+            zlib.crc32(f"{bi}:{bv}".encode()) % n_coarse
             for bi, bv in zip(
                 batch["band_id"].to_pylist(), batch["band_val"].to_pylist()
             )
@@ -2427,7 +2442,7 @@ def cap_per_source(sf_dir: str, n: int = 10) -> pd.DataFrame:
 
 # --------------------------------------- token-offset sequence packing --
 def pack_token_offsets(
-    sf_dir: str, seq_len: int = 512, num_buckets: int = 32
+    sf_dir: str, seq_len: int = 512, num_buckets: int | None = None
 ) -> pd.DataFrame:
     """Training-export packing layout (the GPT-style concat-and-chunk):
     documents are concatenated in ``doc_id`` order and cut into fixed
@@ -2441,6 +2456,7 @@ def pack_token_offsets(
     fn's closure; (4) each bucket sorts locally and cumsums. The
     shuffle moves one 3-int row per document (never text), and no
     stage materializes more than ``num_buckets`` rows on the driver."""
+    num_buckets = exchange_fanout(num_buckets, floor=32)
     import pyarrow.compute as pc
 
     def counts(batch: pa.Table) -> pa.Table:

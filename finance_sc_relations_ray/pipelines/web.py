@@ -195,7 +195,8 @@ def url_dedup_pages(pages_path: str) -> "object":
 
 
 def url_keep_latest_pages_ds(
-    pages_path: str, num_buckets: int = 64, columns: list[str] | None = None
+    pages_path: str, num_buckets: int | None = None,
+    columns: list[str] | None = None,
 ) -> "object":
     """URL-canonical dedup, winner-ROW form: ONE page row per canonical
     url — the latest crawl (max warc_ts; ties break to the
@@ -214,8 +215,10 @@ def url_keep_latest_pages_ds(
     associative, so local-then-global equals one global pass)."""
     import ray.data
 
+    from ..config import exchange_fanout
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
+    num_buckets = exchange_fanout(num_buckets)
     payload = ["text"] if columns is None else list(columns)
     ds = sized_read_parquet(
         pages_path, columns=["url", "warc_ts"] + payload

@@ -65,7 +65,7 @@ def bucket_lookup_join(
     payload: dict[str, str],
     left_schema: pa.Schema,
     payload_types: dict[str, pa.DataType],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     how: str = "inner",
 ) -> "ray.data.Dataset":
     """Attach ``payload`` columns of ``right`` (renamed per the mapping
@@ -78,6 +78,9 @@ def bucket_lookup_join(
     ``"inner"`` (drop unmatched left rows) or ``"left"`` (keep, null
     payload).
     """
+    from ..config import exchange_fanout
+
+    num_buckets = exchange_fanout(num_buckets)
     out_names = list(payload.values())
     left_names = list(left_schema.names)
 
@@ -292,7 +295,7 @@ def asof_join(
     payload: dict[str, str],
     left_schema: pa.Schema,
     payload_types: dict[str, pa.DataType],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed backward as-of join (an operator Ray Data lacks):
     each left row gets the payload of the LATEST right row with the
@@ -315,6 +318,9 @@ def asof_join(
     wins (callers pass a unique id as the first payload column), on
     both this side and the DuckDB ``ASOF JOIN`` oracle (arg_max).
     """
+    from ..config import exchange_fanout
+
+    num_buckets = exchange_fanout(num_buckets)
     out_names = list(payload.values())
     tiebreak = out_names[0]
 
@@ -353,7 +359,7 @@ def range_join(
     payload: dict[str, str],
     left_schema: pa.Schema,
     payload_types: dict[str, pa.DataType],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed interval (range) join: emit one output row for EVERY
     right row with the same ``by`` key whose timestamp falls in
@@ -375,6 +381,9 @@ def range_join(
     """
     import numpy as np
 
+    from ..config import exchange_fanout
+
+    num_buckets = exchange_fanout(num_buckets)
     out_names = list(payload.values())
     left_names = list(left_schema.names)
     # numpy rejects datetime64 + datetime.timedelta; normalize once
@@ -459,7 +468,7 @@ def asof_join_time_partitioned(
     left_schema: pa.Schema,
     payload_types: dict[str, pa.DataType],
     epoch,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """``asof_join`` for time-series where a single key's history
     outgrows one task: rows are sub-partitioned into ``(key-bucket,
@@ -489,6 +498,9 @@ def asof_join_time_partitioned(
     import pandas as pd
     import pyarrow.compute as pc
 
+    from ..config import exchange_fanout
+
+    num_buckets = exchange_fanout(num_buckets)
     out_names = list(payload.values())
     tiebreak = out_names[0]
     raw_payload = list(payload.keys())
@@ -685,7 +697,7 @@ def range_join_time_partitioned(
     left_schema: pa.Schema,
     payload_types: dict[str, pa.DataType],
     epoch,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """``range_join`` with bounded per-task memory (the mitigation its
     docstring prescribes): rows sub-partition into ``(key-bucket,
@@ -709,6 +721,9 @@ def range_join_time_partitioned(
     assert span <= epoch, (
         f"epoch ({epoch}) must cover the window span ({span})"
     )
+    from ..config import exchange_fanout
+
+    num_buckets = exchange_fanout(num_buckets)
     out_names = list(payload.values())
     left_names = list(left_schema.names)
     lower_np = np.timedelta64(lower_offset)

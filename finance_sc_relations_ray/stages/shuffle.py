@@ -204,7 +204,7 @@ def _merge_bucket(g, keys: list[str]):
 
 
 def salted_dedup(
-    ds: "ray.data.Dataset", keys: list[str], num_buckets: int = 64
+    ds: "ray.data.Dataset", keys: list[str], num_buckets: int | None = None
 ) -> "ray.data.Dataset":
     """Two-phase exact dedup: per-batch combiner → bucketed final merge.
 
@@ -213,9 +213,15 @@ def salted_dedup(
     coarse buckets (NOT per key — per-group overhead is paid per
     bucket) and merges each bucket with one vectorized pandas
     aggregation; the merge is associative+commutative, so
-    combiner-then-merge equals a single global pass."""
+    combiner-then-merge equals a single global pass.
+
+    ``num_buckets`` defaults to the cluster-derived
+    ``config.exchange_fanout()`` (resolved at plan time) so reducer
+    parallelism scales with the cluster instead of capping at 64."""
+    from ..config import exchange_fanout
     from .joins import NO_FUSE_NUM_CPUS
 
+    num_buckets = exchange_fanout(num_buckets)
     partial = ds.map_batches(
         lambda b: partial_dedup_batch(b, keys), batch_format="pyarrow"
     )
@@ -260,7 +266,7 @@ def distinct_pairs_ds(
     pairs: "ray.data.Dataset",
     col_a: str = "doc_id_a",
     col_b: str = "doc_id_b",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed DISTINCT over int64 (col_a, col_b) pair rows — the
     combiner pattern above specialized to candidate-pair streams:
@@ -270,8 +276,10 @@ def distinct_pairs_ds(
     import numpy as np
     import pandas as pd
 
+    from ..config import exchange_fanout
     from .joins import NO_FUSE_NUM_CPUS
 
+    num_buckets = exchange_fanout(num_buckets, floor=32)
     h1, h2 = np.uint64(_PAIR_H1), np.uint64(_PAIR_H2)
 
     def local(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -299,7 +307,7 @@ def bucketed_sum_ds(
     ds: "ray.data.Dataset",
     keys: list[str],
     value_cols: list[str],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed per-key SUM for HIGH-CARDINALITY keys: per-batch
     vectorized partial sums → coarse-bucket exchange → one vectorized
@@ -311,7 +319,10 @@ def bucketed_sum_ds(
     (key, batch) crosses the exchange."""
     import pandas as pd
 
+    from ..config import exchange_fanout
     from .joins import NO_FUSE_NUM_CPUS
+
+    num_buckets = exchange_fanout(num_buckets)
 
     def local(df: "pd.DataFrame") -> "pd.DataFrame":
         g = df.groupby(keys, as_index=False, sort=False)[value_cols].sum()
@@ -340,15 +351,17 @@ def distinct_pair_ids_ds(
     col_a: str = "doc_id_a",
     col_b: str = "doc_id_b",
     out_col: str = "doc_id",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Distinct ids appearing on either side of a pair stream, as a
     Dataset (same combiner-first shape as ``distinct_pairs_ds``)."""
     import numpy as np
     import pandas as pd
 
+    from ..config import exchange_fanout
     from .joins import NO_FUSE_NUM_CPUS
 
+    num_buckets = exchange_fanout(num_buckets, floor=32)
     h1 = np.uint64(_PAIR_H1)
 
     def local(df: "pd.DataFrame") -> "pd.DataFrame":

@@ -11,6 +11,7 @@ structural invariants the Ray stages need."""
 
 import time
 
+import pandas as pd
 import pytest
 import ray
 
@@ -205,3 +206,51 @@ def test_heavy_fake_actor_pool_init_once(ray_session):
             for s in heavy["spans"]] == \
            [list(map(dict, s)) if s is not None else None
             for s in base["spans"]]
+
+
+def test_alias_extract_actor_pool_init_once(ray_session):
+    """r4 verdict #2: alias extraction must load its tagger ONCE per
+    actor in __init__ (it used to build a SentencePairScorer on the
+    driver and pickle it into a map-fn default arg). Same structural
+    proof as the NerActor test: the heavy fake logs every __init__."""
+    import os
+
+    from finance_sc_relations_ray.pipelines.kg import AliasExtractActor
+    from finance_sc_relations_ray.stages.backends import HeavyFakeTagger
+
+    rows = [
+        {
+            "url": f"u{i}",
+            "sent_id": i,
+            "sent": 'International Business Machines Corporation ("IBM")'
+            " supplied components to Apple Inc.",
+        }
+        for i in range(200)
+    ]
+    ds = ray.data.from_items(rows).repartition(25)
+
+    def run(backend):
+        cfg = KGConfig(ner_backend=backend)
+        return (
+            ds.map_batches(
+                AliasExtractActor,
+                fn_constructor_kwargs={"config": cfg},
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+                **actor_resources(cfg),
+            )
+            .to_pandas()
+            .sort_values(["url", "target", "alias"])
+            .reset_index(drop=True)
+        )
+
+    if os.path.exists(HeavyFakeTagger.INIT_LOG):
+        os.remove(HeavyFakeTagger.INIT_LOG)
+    heavy = run("heavy_fake")
+    base = run("gazetteer")
+    with open(HeavyFakeTagger.INIT_LOG) as fh:
+        n_inits = len(fh.readlines())
+    assert 1 <= n_inits <= 4, f"suspect per-batch re-init: {n_inits} inits"
+    assert len(heavy) > 0  # the planted quote-alias pattern is detected
+    pd.testing.assert_frame_equal(heavy, base)
