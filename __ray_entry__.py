@@ -200,14 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": functools.partial(
             T.minhash_dup_pairs, on_degenerate="raise"
         ),
-        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "dup_clusters": T.dup_clusters,
         # composed flagship curation pipeline (filter -> exact dedup ->
         # minhash near-dup clusters -> canonical survivors)
         "curate_documents": functools.partial(
             T.curate_documents, on_degenerate="raise"
         ),
-        "heavy_hitter_tokens": T.heavy_hitter_tokens,
         "unigram_logprob_documents": T.unigram_logprob_documents,
         # SimHash near-dup PAIR MINING (Charikar pigeonhole banding —
         # exact recall at hamming<=k, popcount verify in-bucket; its
@@ -304,7 +302,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup_pages": lambda sf_dir: W.url_dedup_pages(
             W.pages_with_url_variants_parquet_for(sf_dir)
         ),
+        # alias detection/filtering/LINKING under the hard hash signal
+        # (r5, r4 verdict #4): formula-planted alias-pattern pages —
+        # the oracle replays the plant with the frozen pair pool and
+        # each pair's company-DB rgid as literals (pipelines/kg.py).
+        # Rotation: ngram_jaccard_pairs moves past the cap — its
+        # toks/shingle/inter/prs pair CTE is embedded VERBATIM in the
+        # in-window dup_clusters oracle
+        "alias_items_planted": KGC.alias_items_planted,
+        # incremental rank state (r5, r4 verdict #2-missing): base
+        # link-crawl state + delta through the shard-pruned edge merge
+        # and rank refresh — same recursive-CTE oracle as the one-shot
+        # host_pagerank (update == rebuild by edge-fold associativity).
+        # Rotation: heavy_hitter_tokens moves past the cap — its
+        # token-unnest count core runs verbatim inside the in-window
+        # unigram_logprob_documents oracle
+        "host_pagerank_state": LG.host_pagerank_state,
         # ---------------- driver-cap boundary (entry #50) ----------------
+        # r5 rotations: ngram_jaccard_pairs (pair CTE verbatim inside
+        # the in-window dup_clusters oracle) and heavy_hitter_tokens
+        # (token-count core verbatim inside the in-window
+        # unigram_logprob_documents oracle) make room for the alias
+        # plant and the rank state; both stay DuckDB-checked in
+        # tests/test_queries_vs_duckdb.py each session.
+        "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
+        "heavy_hitter_tokens": T.heavy_hitter_tokens,
+        # FULL delta-cost frontier (r5): staleness from the persisted
+        # url state, importance from the persisted rank state — zero
+        # corpus scans at schedule time; auto-now (max warc_ts +
+        # offset) exercised under the pytest SQL oracle. Past-cap: the
+        # frontier mechanism keeps its in-window signal via
+        # crawl_frontier, and the two state artifacts via
+        # host_pagerank_state / url_state_update.
+        "crawl_frontier_stateful": LG.crawl_frontier_stateful,
         # link-graph rotation (latest r4): the three planted-anchor
         # graph queries take the window; exiled twins —
         # pagerank_lineitem (identical pagerank_edges_ds core AND
@@ -451,6 +481,9 @@ def oracle_sql() -> dict[str, str]:
         crawl_frontier_capped_oracle as _LG_FRONTIER_CAP_ORACLE,
         crawl_frontier_oracle as _LG_FRONTIER_ORACLE,
         host_hits_oracle as _LG_HITS_ORACLE,
+    )
+    from finance_sc_relations_ray.pipelines.kg import (
+        alias_items_oracle as _KG_ALIAS_ORACLE,
     )
     from finance_sc_relations_ray.pipelines.text import _minhash_params
     from finance_sc_relations_ray.pipelines.web import (
@@ -1612,6 +1645,15 @@ def oracle_sql() -> dict[str, str]:
         "anchor_entity_mentions": _LG_ANCHOR_ORACLE(),
         "host_hits": _LG_HITS_ORACLE(),
         "host_pagerank": _LG_PR_ORACLE,
+        # incremental rank state == one-shot pagerank (edge-fold
+        # associativity), so it shares the recursive-CTE oracle
+        "host_pagerank_state": _LG_PR_ORACLE,
+        # stateful frontier: auto-now (max warc_ts + offset) — the
+        # oracle derives the same epoch in SQL (_now_epoch_sql)
+        "crawl_frontier_stateful": _LG_FRONTIER_ORACLE(now=None),
+        # alias plant replay: frozen pair pool + company-DB rgids as
+        # literals (pipelines/kg.alias_items_oracle)
+        "alias_items_planted": _KG_ALIAS_ORACLE(),
         "triangle_count": _LG_TRI_ORACLE,
         # crawl frontier: embeds the pagerank recurrence verbatim plus
         # the url/warc_ts synthesis formula and the BIGINT

