@@ -129,6 +129,14 @@ def make_tagger(config: KGConfig):
         from .backends import HeavyFakeTagger
 
         return HeavyFakeTagger()
+    if ":" in config.ner_backend:
+        # bring-your-own-weights seam: "module.path:ClassName" imports
+        # and constructs INSIDE the actor's __init__ (load-once on the
+        # worker — the contract `cli check-backend` validates)
+        import importlib
+
+        mod, _, cls = config.ner_backend.partition(":")
+        return getattr(importlib.import_module(mod), cls)()
     return GazetteerTagger(extra_entities=config.extra_entities)
 
 

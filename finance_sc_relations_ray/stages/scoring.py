@@ -178,6 +178,12 @@ def make_scorer(config: KGConfig):
         from .backends import HeavyFakeScorer
 
         return HeavyFakeScorer()
+    if ":" in config.re_backend:
+        # bring-your-own-weights seam (mirrors make_tagger)
+        import importlib
+
+        mod, _, cls = config.re_backend.partition(":")
+        return getattr(importlib.import_module(mod), cls)()
     return RuleReScorer()
 
 

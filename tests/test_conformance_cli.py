@@ -112,3 +112,54 @@ def test_cli_check_backend_reports_failure(tmp_path):
 def test_contract_samples_cover_all_kinds():
     assert set(CONTRACT_SAMPLES) == {"tagger", "scorer", "tokenizer", "encoder"}
     assert all(len(v) >= 3 for v in CONTRACT_SAMPLES.values())
+
+
+def test_pipeline_smoke_cli_heavy_fakes():
+    """r4 verdict #7: the --pipeline smoke runs the 200-page e2e with
+    user backend classes loading inside the actors (the module:Class
+    registry seam) and prints triple P/R vs the stub oracle — 1.0/1.0
+    for the delegating heavy fakes."""
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "finance_sc_relations_ray.cli",
+            "check-backend", "--pipeline",
+            "--tagger",
+            "finance_sc_relations_ray.stages.backends:HeavyFakeTagger",
+            "--scorer",
+            "finance_sc_relations_ray.stages.backends:HeavyFakeScorer",
+            "--num-cpus", "4", "--n-pages", "120",
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["tagger_contract"] == "ok"
+    assert summary["scorer_contract"] == "ok"
+    assert summary["precision"] == 1.0 and summary["recall"] == 1.0
+    assert summary["n_triples"] == summary["n_oracle_triples"] > 0
+
+
+def test_pipeline_smoke_cli_rejects_lying_backend():
+    """A backend that violates the span contract fails the smoke with
+    exit 1 and a JSON error BEFORE any pipeline time is spent."""
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "finance_sc_relations_ray.cli",
+            "check-backend", "--pipeline",
+            "--tagger", "tests.test_conformance_cli:LyingSpanTagger",
+            "--scorer",
+            "finance_sc_relations_ray.stages.backends:HeavyFakeScorer",
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert out.returncode == 1
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert "error" in summary and "tagger_contract" not in summary
+
+
+class LyingSpanTagger:
+    """Span offsets that do not slice to the span text — must fail."""
+
+    def spans(self, sent: str) -> list[dict]:
+        return [{"text": "Nope Corp", "label": "ORG", "start": 0, "end": 3}]
