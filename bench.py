@@ -122,6 +122,18 @@ BENCH_QUERIES = [
     # composed crawl flagship: url-canonical dedup (winner rows) BEFORE
     # the page-local extraction pool, over content-differing recrawls
     "kg_from_crawl",
+    # r5: alias plant e2e (extract -> tag -> detect/filter -> dedup ->
+    # broadcast link) — the alias path's hash-gate query
+    "alias_items_planted",
+    # r5: incremental rank state (delta edge partials -> shard-pruned
+    # merge -> rank refresh over edge shards only)
+    "host_pagerank_state",
+    # r5: full delta-cost frontier — both persisted states, zero
+    # corpus scans at schedule time (the production schedule-tick cost)
+    "crawl_frontier_stateful",
+    # r5: vectorized RE2 token-count histogram (was a per-row Python
+    # loop; benched so the win is recorded and regressions caught)
+    "token_length_quantiles",
 ]
 
 
@@ -502,10 +514,257 @@ def run_probe(seconds: float = 8.0, nproc: int = 16) -> dict:
     }
 
 
+
+
+def _recrawl_pages_dir(base_dir: str) -> str:
+    """Recrawl-variant companion of a cached pages DIR (cached):
+    base files hard-linked, plus variant files where ``doc_id % 7 == 3``
+    gains a LATER (+3600 s) snapshot under a messy url whose html keeps
+    only the first paragraph — the kg.pages_with_recrawl_content plant,
+    generalized to the multi-file bench fixture so the 1M winner fold
+    has real merge work (not an all-singletons no-op)."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    out_dir = os.path.normpath(base_dir) + "-recrawl"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.isfile(done):
+        return out_dir
+    tmp = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    first_p = _re.compile(rb"(.*?<p>.*?</p>).*(<footer>.*)", _re.DOTALL)
+    files = sorted(
+        f for f in os.listdir(base_dir) if f.endswith(".parquet")
+    )
+    schema = None
+    for i, f in enumerate(files):
+        src_f = os.path.join(base_dir, f)
+        os.link(src_f, os.path.join(tmp, f))
+        t = pads.dataset(src_f).to_table()
+        schema = t.schema
+        df = t.to_pandas()
+        doc_id = df["url"].str.extract(r"/page/(\d+)$")[0].astype(np.int64)
+        dom = df["url"].str.extract(r"^https://([^/]+)/")[0]
+        sel = (doc_id % 7 == 3).to_numpy()
+        if not sel.any():
+            continue
+        rr = df[sel].copy()
+        rr["html"] = [first_p.sub(rb"\1\2", h) for h in rr["html"]]
+        rr["url"] = (
+            "http://WWW." + dom[sel] + ":80/page/" + doc_id[sel].astype(str)
+        )
+        rr["warc_ts"] = rr["warc_ts"] + pd.Timedelta(seconds=3600)
+        pq.write_table(
+            pa.Table.from_pandas(rr, preserve_index=False).cast(schema),
+            os.path.join(tmp, f"recrawl-{i:04d}.parquet"),
+            row_group_size=1024,
+        )
+    with open(os.path.join(tmp, "_DONE"), "w") as fh:
+        fh.write("ok")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
+
+
+def run_crawl1m() -> dict:
+    """1M-page refresh of the composed crawl path (r4 verdict #6):
+    ``crawl_partitioned`` (winner fold + resumable partitioned
+    extraction) over the 1M-page fixture WITH recrawl variants.
+    Measures sustained docs/s, polls peak object-store usage, ASSERTS
+    bounded memory (no spill, peak under the store size), and proves
+    resume at scale: a child process is SIGKILLed mid-extraction and
+    the same out dir resumes to a merge count equal to the
+    uninterrupted run's."""
+    import shutil
+    import signal
+    import threading
+
+    import ray
+
+    sf_dir = _sf_dir()
+    ncpu = _num_cpus()
+    n_pages = int(os.environ.get("GRAFT_CRAWL_PAGES", "1000000"))
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    from finance_sc_relations_ray.config import scaled_config
+    from finance_sc_relations_ray.pipelines.run import (
+        crawl_partitioned,
+        merge_parts,
+    )
+    from finance_sc_relations_ray.sources.pages import pages_parquet_for
+
+    extra = n_pages // 50
+    base = pages_parquet_for(sf_dir, n_pages=n_pages, extra_entities=extra)
+    fixture = _recrawl_pages_dir(base)
+    files = sorted(
+        os.path.join(fixture, f)
+        for f in os.listdir(fixture)
+        if f.endswith(".parquet")
+    )
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    cfg = dataclasses.replace(scaled_config(ncpu), extra_entities=extra)
+
+    # ---- object-store poller (bounded-memory evidence) --------------
+    store_total = int(ray.cluster_resources()["object_store_memory"])
+    peak_used = 0
+    stop = threading.Event()
+
+    def poll():
+        nonlocal peak_used
+        while not stop.is_set():
+            avail = ray.available_resources().get("object_store_memory", 0)
+            peak_used = max(peak_used, store_total - int(avail))
+            stop.wait(0.5)
+
+    # ---- full run: sustained throughput -----------------------------
+    out_dir = "/tmp/bench_crawl1m"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    th = threading.Thread(target=poll, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    summary = crawl_partitioned(
+        fixture, out_dir, num_parts=max(16, ncpu), parts_per_chunk=8,
+        config=cfg,
+    )
+    n_triples = merge_parts(out_dir).count()
+    full_sec = time.perf_counter() - t0
+    stop.set()
+    th.join(2)
+
+    # no-spill evidence: Ray spills to the session dir; assert nothing
+    # landed there during the run
+    spilled = 0
+    sess = "/tmp/ray/session_latest"
+    for root, _d, fs in os.walk(sess, followlinks=True):
+        if "spilled" in os.path.basename(root):
+            spilled += sum(
+                os.path.getsize(os.path.join(root, f)) for f in fs
+            )
+    assert spilled == 0, f"object store spilled {spilled} bytes at 1M pages"
+    assert peak_used < 0.9 * store_total, (
+        f"peak object store {peak_used / 1e9:.1f} GB ≥ 90% of "
+        f"{store_total / 1e9:.1f} GB — not bounded"
+    )
+
+    # idempotent re-run: zero parts re-execute (resume-by-skip)
+    t0 = time.perf_counter()
+    re_summary = crawl_partitioned(
+        fixture, out_dir, num_parts=max(16, ncpu), parts_per_chunk=8,
+        config=cfg,
+    )
+    noop_sec = time.perf_counter() - t0
+    assert re_summary["parts_run"] == 0, re_summary
+
+    # ---- kill mid-run, then resume ----------------------------------
+    kill_dir = "/tmp/bench_crawl1m_kill"
+    shutil.rmtree(kill_dir, ignore_errors=True)
+    child_env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_CRAWL_PAGES=str(n_pages),
+        GRAFT_CRAWL_OUT=kill_dir,
+        GRAFT_CRAWL_FIXTURE=fixture,
+    )
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--crawl1m-child"],
+        env=child_env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    time.sleep(max(20.0, 0.5 * full_sec))  # well into extraction
+    child.send_signal(signal.SIGKILL)
+    child.wait()
+    t0 = time.perf_counter()
+    resumed = crawl_partitioned(
+        fixture, kill_dir, num_parts=max(16, ncpu), parts_per_chunk=8,
+        config=cfg,
+    )
+    resume_sec = time.perf_counter() - t0
+    resumed_triples = merge_parts(kill_dir).count()
+    assert resumed_triples == n_triples, (resumed_triples, n_triples)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(kill_dir, ignore_errors=True)
+    out = {
+        "metric": "crawl_partitioned_1m",
+        "value": round(full_sec, 1),
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_input_rows": int(n_rows),
+        "n_pages": n_pages,
+        "n_triples": int(n_triples),
+        "docs_per_sec": round(n_rows / full_sec, 1),
+        "peak_object_store_gb": round(peak_used / 1e9, 2),
+        "object_store_gb": round(store_total / 1e9, 2),
+        "spilled_bytes": spilled,
+        "noop_rerun_sec": round(noop_sec, 1),
+        "resume": {
+            "killed_after_sec": round(max(20.0, 0.5 * full_sec), 1),
+            "parts_done_at_kill": int(resumed["parts_done"])
+            - int(resumed["parts_run"]),
+            "parts_resumed": int(resumed["parts_run"]),
+            "resume_sec": round(resume_sec, 1),
+            "triples_match": True,
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def _crawl1m_child() -> None:
+    """Child for the kill-resume leg: runs crawl_partitioned on the
+    env-given fixture/out until SIGKILLed by the parent."""
+    import dataclasses
+
+    import ray
+
+    ncpu = _num_cpus()
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from finance_sc_relations_ray.config import scaled_config
+    from finance_sc_relations_ray.pipelines.run import crawl_partitioned
+
+    n_pages = int(os.environ["GRAFT_CRAWL_PAGES"])
+    cfg = dataclasses.replace(
+        scaled_config(ncpu), extra_entities=n_pages // 50
+    )
+    crawl_partitioned(
+        os.environ["GRAFT_CRAWL_FIXTURE"],
+        os.environ["GRAFT_CRAWL_OUT"],
+        num_parts=max(16, ncpu), parts_per_chunk=8, config=cfg,
+    )
+
+
 if __name__ == "__main__":
     if "--probe" in sys.argv:
         print(json.dumps(run_probe()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--crawl1m-child" in sys.argv:
+        _crawl1m_child()
+    elif "--crawl1m" in sys.argv:
+        print(json.dumps(run_crawl1m()))
     else:
         print(json.dumps(run_bench()))
