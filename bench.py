@@ -416,9 +416,17 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_PAGES=pages, GRAFT_BENCH_SATURATED="0",
                    GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_PARTITIONED="0")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if os.environ.get("GRAFT_SCALING_TASKSET") == "1":
+            # pin each level to exactly ncpu OS cores: on this
+            # burst-capable host, an unpinned low level borrows idle
+            # cores beyond its Ray slot count (Arrow/numpy kernels run
+            # outside Ray's scheduler), deflating the ratio — pinning
+            # makes N→4N a true two-cluster-size comparison where
+            # capacity, not just Ray's logical slots, scales 4×
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         )
         out = json.loads(proc.stdout.strip().splitlines()[-1])
         out["steal_frac"] = out["kg_steal_frac"]
