@@ -416,8 +416,13 @@ def run_scaling() -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_PAGES=pages, GRAFT_BENCH_SATURATED="0",
                    GRAFT_BENCH_QUERIES="0", GRAFT_BENCH_PARTITIONED="0")
+        import shutil as _shutil
+
         cmd = [sys.executable, os.path.abspath(__file__)]
-        if os.environ.get("GRAFT_SCALING_TASKSET") == "1":
+        if (
+            os.environ.get("GRAFT_SCALING_TASKSET", "1") == "1"
+            and _shutil.which("taskset")
+        ):
             # pin each level to exactly ncpu OS cores: on this
             # burst-capable host, an unpinned low level borrows idle
             # cores beyond its Ray slot count (Arrow/numpy kernels run
