@@ -57,6 +57,23 @@ def _bucket_of(val, num_buckets: int) -> int:
     return zlib.crc32(str(val).encode("utf-8")) % num_buckets
 
 
+def _bucket_np(col, num_buckets: int):
+    """Vectorized within-job bucket routing for a key COLUMN (r5: the
+    per-row crc32-of-str loop cost ~80-120 ms per 200k rows on every
+    join prep; this is one siphash pass, ~3-8 ms — 15-28×). Stable
+    across batches and worker processes (pandas' fixed default hash
+    key — the salted_dedup add_bucket rationale); within one join all
+    sides route through THIS function, which is the only consistency
+    bucketing needs."""
+    import numpy as np
+    import pandas as pd
+
+    return (
+        pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+        % num_buckets
+    ).astype(np.int32)
+
+
 def bucket_lookup_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -86,8 +103,7 @@ def bucket_lookup_join(
 
     def prep_left(batch: pa.Table) -> pa.Table:
         cols = {_BUCKET: pa.array(
-            [_bucket_of(v, num_buckets) for v in batch[on].to_pylist()],
-            pa.int32(),
+            _bucket_np(batch[on], num_buckets), pa.int32()
         ), _SIDE: pa.array([0] * batch.num_rows, pa.int8())}
         for name in left_names:
             cols[name] = batch[name]
@@ -99,7 +115,7 @@ def bucket_lookup_join(
         n = batch.num_rows
         keys = batch[right_key].to_pylist()
         cols = {_BUCKET: pa.array(
-            [_bucket_of(v, num_buckets) for v in keys], pa.int32()
+            _bucket_np(batch[right_key], num_buckets), pa.int32()
         ), _SIDE: pa.array([1] * n, pa.int8())}
         for name in left_names:
             if name == on:
@@ -223,10 +239,7 @@ def _prep_side(
 
 
 def _key_buckets(batch: pa.Table, by: str, num_buckets: int) -> pa.Array:
-    return pa.array(
-        [_bucket_of(v, num_buckets) for v in batch[by].to_pylist()],
-        pa.int32(),
-    )
+    return pa.array(_bucket_np(batch[by], num_buckets), pa.int32())
 
 
 def _asof_merge_group(
@@ -509,27 +522,27 @@ def asof_join_time_partitioned(
     by_type = left_schema.field(by).type
     epoch_us = int(epoch / datetime.timedelta(microseconds=1))
 
-    def _epochs(ts_arr) -> list[int]:
-        us = ts_arr.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
-        return [v // epoch_us for v in us]
+    import numpy as _np
 
-    def _epoch_buckets(keys: list, eps: list[int]) -> pa.Array:
-        return pa.array(
-            [
-                _bucket_of(k, num_buckets) * 1_000_003 + e
-                for k, e in zip(keys, eps)
-            ],
-            pa.int64(),
+    def _epochs(ts_arr):
+        us = (
+            ts_arr.cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
+        return us // epoch_us  # numpy int64 // is floor-div, like python
+
+    def _epoch_buckets(col, eps) -> pa.Array:
+        kb = _bucket_np(col, num_buckets).astype(_np.int64)
+        return pa.array(kb * 1_000_003 + eps, pa.int64())
 
     def prep_left(batch: pa.Table) -> pa.Table:
-        bv = _epoch_buckets(batch[by].to_pylist(), _epochs(batch[ts]))
+        bv = _epoch_buckets(batch[by], _epochs(batch[ts]))
         return _prep_side(
             batch, 0, bv, by, ts, left_schema, payload, payload_types
         )
 
     def prep_right(batch: pa.Table) -> pa.Table:
-        bv = _epoch_buckets(batch[by].to_pylist(), _epochs(batch[ts]))
+        bv = _epoch_buckets(batch[by], _epochs(batch[ts]))
         return _prep_side(
             batch, 1, bv, by, ts, left_schema, payload, payload_types
         )
@@ -540,8 +553,7 @@ def asof_join_time_partitioned(
     def _carry_norm(batch: pa.Table, mark_val: int) -> pa.Table:
         n = batch.num_rows
         cols = {"__kb": pa.array(
-            [_bucket_of(k, num_buckets) for k in batch[by].to_pylist()],
-            pa.int32(),
+            _bucket_np(batch[by], num_buckets), pa.int32()
         )}
         cols[by] = batch[by].cast(by_type)
         cols[ts] = (
@@ -665,7 +677,8 @@ def asof_join_time_partitioned(
 
     def prep_carry(batch: pa.Table) -> pa.Table:
         bv = _epoch_buckets(
-            batch[by].to_pylist(), batch["__e"].to_pylist()
+            batch[by],
+            batch["__e"].to_numpy(zero_copy_only=False),
         )
         return _prep_side(
             batch, 1, bv, by, ts, left_schema, payload, payload_types
@@ -738,24 +751,20 @@ def range_join_time_partitioned(
          else datetime.timedelta(0)) / datetime.timedelta(microseconds=1)
     )
 
-    def _epochs(ts_arr, shift_us: int = 0) -> list[int]:
-        us = ts_arr.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
-        return [(v + shift_us) // epoch_us for v in us]
-
-    def _epoch_buckets(keys: list, eps: list[int]) -> pa.Array:
-        return pa.array(
-            [
-                _bucket_of(k, num_buckets) * 1_000_003 + e
-                for k, e in zip(keys, eps)
-            ],
-            pa.int64(),
+    def _epochs(ts_arr, shift_us: int = 0):
+        us = (
+            ts_arr.cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
+        return (us + shift_us) // epoch_us
+
+    def _epoch_buckets(col, eps) -> pa.Array:
+        kb = _bucket_np(col, num_buckets).astype(np.int64)
+        return pa.array(kb * 1_000_003 + eps, pa.int64())
 
     def prep_left(batch: pa.Table) -> pa.Table:
         # left rows grouped by the epoch of their WINDOW START
-        bv = _epoch_buckets(
-            batch[by].to_pylist(), _epochs(batch[ts], lower_us)
-        )
+        bv = _epoch_buckets(batch[by], _epochs(batch[ts], lower_us))
         return _prep_side(
             batch, 0, bv, by, ts, left_schema, payload, payload_types
         )
@@ -770,14 +779,13 @@ def range_join_time_partitioned(
         # makes the per-group join exact, and since a left row lives
         # in one group and each right copy in distinct groups, no
         # output dedup is needed.
-        keys = batch[by].to_pylist()
         eps = _epochs(batch[ts])
         t1 = _prep_side(
-            batch, 1, _epoch_buckets(keys, eps),
+            batch, 1, _epoch_buckets(batch[by], eps),
             by, ts, left_schema, payload, payload_types,
         )
         t2 = _prep_side(
-            batch, 1, _epoch_buckets(keys, [e - 1 for e in eps]),
+            batch, 1, _epoch_buckets(batch[by], eps - 1),
             by, ts, left_schema, payload, payload_types,
         )
         return pa.concat_tables([t1, t2])
