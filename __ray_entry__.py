@@ -218,7 +218,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # → broadcast-threshold → map-only shape)
         "length_quantile_filter": T.length_quantile_filter,
         "cap_per_source": T.cap_per_source,
-        "pack_token_offsets": T.pack_token_offsets,
+        # composed pretraining export (r5): curate survivors ->
+        # eval-overlap decontamination -> concat-and-chunk packing,
+        # one oracle composing all three stage CTEs verbatim.
+        # Rotation: pack_token_offsets moves past the cap — its
+        # prefix-sum window runs VERBATIM inside this oracle's tail
+        "pretrain_export": functools.partial(
+            T.pretrain_export, on_degenerate="raise"
+        ),
         "resample_by_source": T.resample_by_source,
         "dsir_importance": T.dsir_importance_documents,
         # training-data prep operators
@@ -327,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_queries_vs_duckdb.py each session.
         "ngram_jaccard_pairs": T.ngram_jaccard_pairs,
         "heavy_hitter_tokens": T.heavy_hitter_tokens,
+        # r5 rotation for pretrain_export: the pack window is embedded
+        # verbatim in the in-window pretrain_export oracle
+        "pack_token_offsets": T.pack_token_offsets,
         # FULL delta-cost frontier (r5): staleness from the persisted
         # url state, importance from the persisted rank state — zero
         # corpus scans at schedule time; auto-now (max warc_ts +
@@ -496,6 +506,157 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {int(mh_a[i])}::HUGEINT, {int(mh_b[i])}::HUGEINT)"
         for i in range(64)
     )
+    _curate_ctes = rf"""
+            WITH RECURSIVE perms AS (
+                SELECT * FROM (VALUES {mh_perms}) p(i, pa, pb)
+            ), eligible AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '\S+')) AS n_words
+                FROM documents
+                WHERE lang = 'en'
+                  AND len(regexp_extract_all(text, '\S+')) >= 20
+                  AND (CASE WHEN length(text) > 0
+                       THEN len(regexp_extract_all(text, '[.,;:!?]'))
+                            / length(text)::DOUBLE
+                       ELSE 0.0 END) <= 0.05
+            ), winners AS (
+                SELECT e.doc_id, e.text, e.n_words
+                FROM eligible e
+                JOIN (SELECT min(doc_id) AS doc_id
+                      FROM eligible GROUP BY md5(text)) w
+                  ON w.doc_id = e.doc_id
+            ), toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                FROM winners
+            ), sh AS (
+                SELECT doc_id,
+                    list_distinct(
+                        CASE WHEN len(t) >= 3
+                             THEN list_transform(range(1, len(t) - 1),
+                                                 i -> array_to_string(t[i:i+2], ' '))
+                             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                             ELSE [] END
+                    ) AS s
+                FROM toks
+            ), eh AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 16))::UBIGINT::HUGEINT AS h
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+            ), sig AS (
+                SELECT d.doc_id, p.i,
+                       coalesce(min(((p.pa * e.h) % 18446744073709551616::HUGEINT
+                                     + p.pb) % 18446744073709551616::HUGEINT
+                                    % 2305843009213693951),
+                                2305843009213693951) AS v
+                FROM (SELECT doc_id FROM winners) d
+                CROSS JOIN perms p
+                LEFT JOIN eh e ON e.doc_id = d.doc_id
+                GROUP BY d.doc_id, p.i
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band_id,
+                       substr(md5(string_agg(v::VARCHAR, ',' ORDER BY i)),
+                              1, 16) AS bh
+                FROM sig GROUP BY doc_id, i // 4
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+                FROM bands x JOIN bands y
+                  ON x.band_id = y.band_id AND x.bh = y.bh
+                 AND y.doc_id > x.doc_id
+            ), cnt AS (
+                SELECT s.doc_id, count(e.h) AS n
+                FROM sh s LEFT JOIN eh e ON e.doc_id = s.doc_id
+                GROUP BY s.doc_id
+            ), inter AS (
+                SELECT c.doc_id_a, c.doc_id_b, count(*) AS i
+                FROM cand c
+                JOIN eh a ON a.doc_id = c.doc_id_a
+                JOIN eh b ON b.doc_id = c.doc_id_b AND b.h = a.h
+                GROUP BY 1, 2
+            ), prs AS (
+                SELECT c.doc_id_a, c.doc_id_b
+                FROM cand c
+                LEFT JOIN inter i ON i.doc_id_a = c.doc_id_a
+                                 AND i.doc_id_b = c.doc_id_b
+                JOIN cnt ca ON ca.doc_id = c.doc_id_a
+                JOIN cnt cb ON cb.doc_id = c.doc_id_b
+                WHERE CASE WHEN ca.n = 0 AND cb.n = 0 THEN 1.0
+                      ELSE coalesce(i.i, 0)
+                           / (ca.n + cb.n - coalesce(i.i, 0))::DOUBLE
+                      END >= 0.8
+            ), edges AS (
+                SELECT doc_id_a AS s, doc_id_b AS d FROM prs
+                UNION ALL
+                SELECT doc_id_b, doc_id_a FROM prs
+            ), reach(node, label) AS (
+                SELECT doc_id, doc_id FROM winners
+                UNION
+                SELECT ed.d, r.label FROM reach r JOIN edges ed ON ed.s = r.node
+            )
+"""
+    _CURATE_FINAL = r"""
+            SELECT w.doc_id, w.n_words
+            FROM winners w
+            JOIN (SELECT node, min(label) AS cl
+                  FROM reach GROUP BY node) c ON c.node = w.doc_id
+            WHERE c.cl = c.node
+        """
+    # composed pretraining export: curate survivors (CTEs verbatim) ->
+    # eval-overlap decontamination (the decontaminate_documents gram
+    # CTE shape, n=5, bench = doc_id < 20) -> concat-and-chunk packing
+    # (the pack_token_offsets window verbatim) over the export set
+    _PRETRAIN_TAIL = r"""
+            , kept AS (
+                SELECT w.doc_id, w.text
+                FROM winners w
+                JOIN (SELECT node, min(label) AS cl
+                      FROM reach GROUP BY node) c ON c.node = w.doc_id
+                WHERE c.cl = c.node
+            ), ktoks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+                FROM kept
+            ), kgrams AS (
+                SELECT doc_id,
+                       [array_to_string(list_slice(t, i, i + 4), ' ')
+                        FOR i IN range(1, greatest(len(t) - 4, 0) + 1)]
+                           AS grams
+                FROM ktoks
+            ), btoks AS (
+                SELECT regexp_extract_all(lower(text), '\S+') AS t
+                FROM documents WHERE doc_id < 20
+            ), bgrams AS (
+                SELECT DISTINCT unnest(
+                    [array_to_string(list_slice(t, i, i + 4), ' ')
+                     FOR i IN range(1, greatest(len(t) - 4, 0) + 1)]
+                ) AS gram
+                FROM btoks
+            ), bl AS (SELECT list(gram) AS bg FROM bgrams),
+            surv AS (
+                SELECT k.doc_id, k.text
+                FROM kept k JOIN kgrams g ON g.doc_id = k.doc_id, bl
+                WHERE k.doc_id >= 20
+                  AND len(list_intersect(g.grams, bl.bg)) = 0
+            ), pt AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+'))::BIGINT AS nt
+                FROM surv
+            ), pc_ AS (
+                SELECT doc_id, nt,
+                       coalesce(sum(nt) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ), 0) AS st
+                FROM pt
+            )
+            SELECT doc_id,
+                   nt AS n_tokens,
+                   st::BIGINT AS start_tok,
+                   (st // 512)::BIGINT AS first_chunk,
+                   (CASE WHEN nt = 0 THEN 0
+                         ELSE (st + nt - 1) // 512 - st // 512 + 1
+                    END)::BIGINT AS n_chunks
+            FROM pc_
+        """
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1473,99 +1634,9 @@ def oracle_sql() -> dict[str, str]:
         # composed curation: quality/lang gate -> exact dedup (min
         # doc_id per md5) -> bit-exact MinHash LSH pairs over the
         # survivors -> recursive-CTE components -> canonical survivors
-        "curate_documents": rf"""
-            WITH RECURSIVE perms AS (
-                SELECT * FROM (VALUES {mh_perms}) p(i, pa, pb)
-            ), eligible AS (
-                SELECT doc_id, text,
-                       len(regexp_extract_all(text, '\S+')) AS n_words
-                FROM documents
-                WHERE lang = 'en'
-                  AND len(regexp_extract_all(text, '\S+')) >= 20
-                  AND (CASE WHEN length(text) > 0
-                       THEN len(regexp_extract_all(text, '[.,;:!?]'))
-                            / length(text)::DOUBLE
-                       ELSE 0.0 END) <= 0.05
-            ), winners AS (
-                SELECT e.doc_id, e.text, e.n_words
-                FROM eligible e
-                JOIN (SELECT min(doc_id) AS doc_id
-                      FROM eligible GROUP BY md5(text)) w
-                  ON w.doc_id = e.doc_id
-            ), toks AS (
-                SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
-                FROM winners
-            ), sh AS (
-                SELECT doc_id,
-                    list_distinct(
-                        CASE WHEN len(t) >= 3
-                             THEN list_transform(range(1, len(t) - 1),
-                                                 i -> array_to_string(t[i:i+2], ' '))
-                             WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
-                             ELSE [] END
-                    ) AS s
-                FROM toks
-            ), eh AS (
-                SELECT DISTINCT doc_id,
-                       ('0x' || substr(md5(g), 1, 16))::UBIGINT::HUGEINT AS h
-                FROM (SELECT doc_id, unnest(s) AS g FROM sh)
-            ), sig AS (
-                SELECT d.doc_id, p.i,
-                       coalesce(min(((p.pa * e.h) % 18446744073709551616::HUGEINT
-                                     + p.pb) % 18446744073709551616::HUGEINT
-                                    % 2305843009213693951),
-                                2305843009213693951) AS v
-                FROM (SELECT doc_id FROM winners) d
-                CROSS JOIN perms p
-                LEFT JOIN eh e ON e.doc_id = d.doc_id
-                GROUP BY d.doc_id, p.i
-            ), bands AS (
-                SELECT doc_id, i // 4 AS band_id,
-                       substr(md5(string_agg(v::VARCHAR, ',' ORDER BY i)),
-                              1, 16) AS bh
-                FROM sig GROUP BY doc_id, i // 4
-            ), cand AS (
-                SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
-                FROM bands x JOIN bands y
-                  ON x.band_id = y.band_id AND x.bh = y.bh
-                 AND y.doc_id > x.doc_id
-            ), cnt AS (
-                SELECT s.doc_id, count(e.h) AS n
-                FROM sh s LEFT JOIN eh e ON e.doc_id = s.doc_id
-                GROUP BY s.doc_id
-            ), inter AS (
-                SELECT c.doc_id_a, c.doc_id_b, count(*) AS i
-                FROM cand c
-                JOIN eh a ON a.doc_id = c.doc_id_a
-                JOIN eh b ON b.doc_id = c.doc_id_b AND b.h = a.h
-                GROUP BY 1, 2
-            ), prs AS (
-                SELECT c.doc_id_a, c.doc_id_b
-                FROM cand c
-                LEFT JOIN inter i ON i.doc_id_a = c.doc_id_a
-                                 AND i.doc_id_b = c.doc_id_b
-                JOIN cnt ca ON ca.doc_id = c.doc_id_a
-                JOIN cnt cb ON cb.doc_id = c.doc_id_b
-                WHERE CASE WHEN ca.n = 0 AND cb.n = 0 THEN 1.0
-                      ELSE coalesce(i.i, 0)
-                           / (ca.n + cb.n - coalesce(i.i, 0))::DOUBLE
-                      END >= 0.8
-            ), edges AS (
-                SELECT doc_id_a AS s, doc_id_b AS d FROM prs
-                UNION ALL
-                SELECT doc_id_b, doc_id_a FROM prs
-            ), reach(node, label) AS (
-                SELECT doc_id, doc_id FROM winners
-                UNION
-                SELECT ed.d, r.label FROM reach r JOIN edges ed ON ed.s = r.node
-            )
-            SELECT w.doc_id, w.n_words
-            FROM winners w
-            JOIN (SELECT node, min(label) AS cl
-                  FROM reach GROUP BY node) c ON c.node = w.doc_id
-            WHERE c.cl = c.node
-        """,
-        "knn_cosine": """
+        "curate_documents": _curate_ctes + _CURATE_FINAL,
+        "pretrain_export": _curate_ctes + _PRETRAIN_TAIL,
+                "knn_cosine": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe
                 FROM embeddings ORDER BY vec_id LIMIT 8

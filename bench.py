@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     # r5: vectorized RE2 token-count histogram (was a per-row Python
     # loop; benched so the win is recorded and regressions caught)
     "token_length_quantiles",
+    # r5: composed pretraining export (curate -> decontaminate -> pack)
+    "pretrain_export",
 ]
 
 

@@ -1715,6 +1715,7 @@ def curate_documents_ds(
     num_buckets: int | None = None,
     on_degenerate: str = "star",
     method: str = "propagation",
+    keep_text: bool = False,
 ) -> "ray.data.Dataset":
     """End-to-end corpus curation — the composed flagship text
     pipeline (the C4/RefinedWeb curation shape), each stage reusing an
@@ -1812,7 +1813,7 @@ def curate_documents_ds(
         sf_dir, winners,
         jaccard_threshold=jaccard_threshold, num_perm=num_perm,
         bands=bands, max_iter=max_iter, num_buckets=num_buckets,
-        on_degenerate=on_degenerate, method=method,
+        on_degenerate=on_degenerate, method=method, keep_text=keep_text,
     )
 
 
@@ -1955,10 +1956,17 @@ def _curate_tail(
     num_buckets: int,
     on_degenerate: str,
     method: str,
+    keep_text: bool = False,
 ) -> "ray.data.Dataset":
     """Stages 3-5 of the curation flagship (near-dup mine over the
     exact-dedup winners → connected components → anti-join of cluster
-    losers), shared by the one-shot and resumable paths."""
+    losers), shared by the one-shot and resumable paths.
+
+    ``keep_text`` rides the survivor TEXT through the anti-join — for
+    composed consumers (``pretrain_export``'s decontaminate + pack
+    stages) that would otherwise pay a re-fetch join. The loser side
+    of the anti-join still moves only (doc_id, flag) rows; text rides
+    the LEFT stream, which the join never dict-materializes."""
     import pyarrow.compute as pc
 
     from ..stages.joins import bucket_lookup_join
@@ -1973,7 +1981,10 @@ def _curate_tail(
     )
     labels = _pair_graph_labels(pairs, max_iter, num_buckets, method)
 
-    kept_cols = winners.select_columns(["doc_id", "n_words"])
+    out_cols = (
+        ["doc_id", "text", "n_words"] if keep_text else ["doc_id", "n_words"]
+    )
+    kept_cols = winners.select_columns(out_cols)
     if labels is None:
         return kept_cols
 
@@ -1986,18 +1997,23 @@ def _curate_tail(
             }
         )
 
+    left_fields = [("doc_id", pa.int64())]
+    if keep_text:
+        left_fields.append(("text", pa.string()))
+    left_fields.append(("n_words", pa.int64()))
+
     losers = labels.map_batches(loser_rows, batch_format="pyarrow")
     joined = bucket_lookup_join(
         kept_cols, losers, on="doc_id", right_key="doc_id",
         payload={"dup": "dup"},
-        left_schema=pa.schema([("doc_id", pa.int64()), ("n_words", pa.int64())]),
+        left_schema=pa.schema(left_fields),
         payload_types={"dup": pa.int8()},
         num_buckets=num_buckets, how="left",
     )
 
     def keep_unflagged(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.is_null(batch["dup"]))
-        return pa.table({"doc_id": t["doc_id"], "n_words": t["n_words"]})
+        return t.select(out_cols)
 
     return joined.map_batches(keep_unflagged, batch_format="pyarrow")
 
@@ -2470,6 +2486,16 @@ def pack_token_offsets(
         .map_batches(counts, batch_format="pyarrow")
         .materialize()
     )
+    return _pack_offsets_from_counts(counted, seq_len, num_buckets)
+
+
+def _pack_offsets_from_counts(
+    counted: "ray.data.Dataset", seq_len: int, num_buckets: int
+) -> pd.DataFrame:
+    """The distributed exclusive-prefix-sum packing core over a
+    MATERIALIZED (doc_id, n_tokens) Dataset — shared by
+    :func:`pack_token_offsets` (whole corpus) and
+    :func:`pretrain_export` (curated+decontaminated survivors)."""
     lo = counted.min("doc_id")
     hi = counted.max("doc_id")
     span = max(1, (hi - lo) // num_buckets + 1)
@@ -2701,3 +2727,108 @@ def dsir_importance_documents(sf_dir: str, **kw) -> pd.DataFrame:
     gate)."""
     out = dsir_importance_documents_ds(sf_dir, **kw).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------ composed pretraining-data export --------
+def pretrain_export(
+    sf_dir: str,
+    seq_len: int = 512,
+    bench_max_doc_id: int = 20,
+    n: int = 5,
+    on_degenerate: str = "star",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """The composed TRAINING-EXPORT flagship — the text-side analog of
+    ``kg.kg_from_crawl``: the full C4/RefinedWeb curation chain
+    (:func:`curate_documents_ds`: lang+quality gate → exact dedup →
+    MinHash components → keep-one-representative), then benchmark
+    DECONTAMINATION over the survivors (the GPT-3/Llama eval-overlap
+    rule — any shared lowercase word ``n``-gram with the held-out set
+    drops the doc; the eval docs themselves never enter the export),
+    then the GPT-style concat-and-chunk PACKING layout
+    (:func:`_pack_offsets_from_counts`: distributed exclusive prefix
+    sum, shuffle moves one 3-int row per survivor). One streaming
+    composition; the only text-shipping exchange is curation's exact
+    dedup, survivors carry text once (``keep_text=True`` — no re-fetch
+    join), and the DuckDB oracle composes the three stage oracles
+    VERBATIM (curate CTEs + the decontaminate gram CTE + the pack
+    window), so every stage boundary sits under one hash signal.
+
+    Output: (doc_id, n_tokens, start_tok, first_chunk, n_chunks) per
+    exported document — the manifest a sequence-packing loader
+    consumes."""
+    num_buckets = exchange_fanout(num_buckets, floor=32)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from ..functions.textops import tokens_lower
+
+    survivors = curate_documents_ds(
+        sf_dir, on_degenerate=on_degenerate, keep_text=True
+    )
+
+    # benchmark gram set: built ONCE from the (small) eval stand-in,
+    # broadcast via ray.put (the decontaminate_documents kernel)
+    def grams_of(text: str) -> set:
+        toks = tokens_lower(text)
+        if len(toks) < n:
+            return set()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_tbl = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", bench_max_doc_id)],
+    )
+    bench: set = set()
+    for t in bench_tbl["text"].to_pylist():
+        bench |= grams_of(t)
+    bench_ref = ray.put(bench)
+
+    class CleanCounter:
+        """Drop eval docs + contaminated survivors, count tokens of the
+        rest — one fused map stage, text never leaves it."""
+
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep_ids, n_toks = [], []
+            texts = batch["text"].to_pylist()
+            ids = batch["doc_id"].to_pylist()
+            ntok = (
+                pc.count_substring_regex(batch["text"], _TOKEN_PAT)
+                .cast(pa.int64())
+                .to_pylist()
+            )
+            for doc_id, text, nt in zip(ids, texts, ntok):
+                if doc_id < bench_max_doc_id:
+                    continue
+                if not self.bench.isdisjoint(grams_of(text)):
+                    continue
+                keep_ids.append(doc_id)
+                n_toks.append(nt)
+            return pa.table(
+                {
+                    "doc_id": pa.array(keep_ids, pa.int64()),
+                    "n_tokens": pa.array(n_toks, pa.int64()),
+                }
+            )
+
+    counted = survivors.map_batches(
+        CleanCounter, batch_format="pyarrow", concurrency=(1, 4),
+        num_cpus=0.5,
+    ).materialize()
+    if counted.count() == 0:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in (
+                    "doc_id", "n_tokens", "start_tok", "first_chunk",
+                    "n_chunks",
+                )
+            }
+        )
+    return _pack_offsets_from_counts(counted, seq_len, num_buckets)
