@@ -39,6 +39,7 @@ TABLES = [
 #   relational bucket join          -> segment_order_stats_bucket_join
 #   driver range buckets            -> pack_token_offsets
 BUCKETED_QUERIES = [
+    "pretrain_export",
     "curate_documents",
     "dedup_exact",
     "minhash_dup_pairs",
