@@ -810,19 +810,24 @@ def heavy_hitter_tokens(sf_dir: str, min_fraction: float = 0.005) -> pd.DataFram
     from ray.data.aggregate import Sum as _Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for text in batch["text"].to_pylist():
-            # RE2-parity tokenization (ASCII-whitespace split + lower;
-            # see textops._TOKEN_RE) so the DuckDB oracle's
-            # regexp_extract_all(lower(text), '\S+') counts identically
-            c.update(textops.tokens_lower(text))
-        toks = sorted(c)
+        # RE2-parity tokenization (ASCII-whitespace split + lower; see
+        # textops._TOKEN_RE) so the DuckDB oracle's
+        # regexp_extract_all(lower(text), '\S+') counts identically;
+        # batch kernel + one vectorized value_counts (r5: the per-doc
+        # Counter loop was the stage's dominant cost)
+        flat, _ = textops.tokens_lower_batch(batch["text"].to_pylist())
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                }
+            )
+        vc = pd.Series(flat).value_counts(sort=False)
         return pa.table(
             {
-                "tok": pa.array(toks, pa.string()),
-                "n_occurrences": pa.array([c[t] for t in toks], pa.int64()),
+                "tok": pa.array(vc.index.to_numpy(), pa.string()),
+                "n_occurrences": pa.array(vc.to_numpy(), pa.int64()),
             }
         )
 
@@ -877,22 +882,32 @@ def unigram_logprob_documents(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.joins import bucket_lookup_join
 
     def explode_counts(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        doc_ids, toks, ks = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            c = Counter(textops.tokens_lower(text))
-            for t in sorted(c):
-                doc_ids.append(doc_id)
-                toks.append(t)
-                ks.append(c[t])
+        # batch tokenize + one vectorized two-key groupby (the graph
+        # _explode_tf shape; r5 replaced the per-doc Counter loop)
+        flat, counts = textops.tokens_lower_batch(
+            batch["text"].to_pylist()
+        )
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                }
+            )
+        rep = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
+        g = (
+            pd.DataFrame({"doc_id": rep, "tok": flat})
+            .groupby(["doc_id", "tok"], as_index=False, sort=False)
+            .size()
+        )
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "tok": pa.array(toks, pa.string()),
-                "k": pa.array(ks, pa.int64()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "tok": pa.array(g["tok"].tolist(), pa.string()),
+                "k": pa.array(g["size"].to_numpy(), pa.int64()),
             }
         )
 
