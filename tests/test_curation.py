@@ -180,3 +180,29 @@ class TestCurateDocuments:
             int(d) for d in win["doc_id"] if comp_min[find(int(d))] == int(d)
         )
         assert sorted(cur["doc_id"].tolist()) == expected
+
+
+def test_curate_keep_text_same_survivors(ray_session):
+    """keep_text=True (the pretrain_export composition input) must not
+    change WHICH documents survive — only add the text column."""
+    import os
+
+    from finance_sc_relations_ray.pipelines.text import curate_documents_ds
+
+    sf = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    bare = (
+        curate_documents_ds(sf, on_degenerate="raise")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    with_text = (
+        curate_documents_ds(sf, on_degenerate="raise", keep_text=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(with_text.columns) == ["doc_id", "text", "n_words"]
+    assert with_text["doc_id"].tolist() == bare["doc_id"].tolist()
+    assert with_text["n_words"].tolist() == bare["n_words"].tolist()
+    assert with_text["text"].notna().all()
