@@ -445,6 +445,80 @@ def curate_partitioned(
     return total
 
 
+def pretrain_export_partitioned(
+    sf_dir: str,
+    out_dir: str,
+    seq_len: int = 512,
+    bench_max_doc_id: int = 20,
+    n: int = 5,
+    num_parts: int = 16,
+    parts_per_chunk: int = 8,
+    max_chunks: int | None = None,
+    **curate_kwargs,
+) -> dict:
+    """Resumable execution of the composed pretraining export
+    (text.pretrain_export) — curation's partitioned runner plus an
+    idempotent EXPORT stage:
+
+    - **Stages 1+2**: :func:`curate_partitioned` verbatim, with
+      ``keep_text=True`` so the stage-2 survivors land in
+      ``out_dir/final/`` WITH text (the loser side of the anti-join
+      still moves ids only). All of stage 1's part-granular resume
+      semantics apply unchanged.
+    - **Stage 3 (global, idempotent, manifest part ``-2``)**:
+      decontaminate + pack over the persisted survivors
+      (text._export_tail) and WRITE the per-doc offsets manifest to
+      ``out_dir/export/`` via a distributed ``write_parquet`` — at
+      corpus scale the offsets table is corpus-sized and never touches
+      the driver. A crash during stage 3 reruns only stage 3; a
+      completed run is a no-op.
+
+    Output equals the one-shot ``pretrain_export`` row-for-row
+    (tests/test_resume_curation.py)."""
+    from . import text as T
+    from ..sources.io import sized_read_parquet
+
+    total = curate_partitioned(
+        sf_dir, out_dir,
+        num_parts=num_parts, parts_per_chunk=parts_per_chunk,
+        max_chunks=max_chunks, keep_text=True, **curate_kwargs,
+    )
+    if total.get("parts_done", 0) < num_parts or "n_final" not in total:
+        return total  # interrupted in stage 1: export deferred
+
+    manifest = Manifest(out_dir)
+    if -2 in manifest.completed_parts():
+        total["n_exported"] = next(
+            rec["n_exported"] for rec in manifest.metrics()
+            if rec["part"] == -2
+        )
+        return total
+
+    t0 = time.perf_counter()
+    export_dir = os.path.join(out_dir, "export")
+    shutil.rmtree(export_dir, ignore_errors=True)
+    survivors = sized_read_parquet(
+        os.path.join(out_dir, "final"),
+        columns=["doc_id", "text", "n_words"],
+    )
+    offsets = T._export_tail(
+        survivors, sf_dir, seq_len, bench_max_doc_id, n, None
+    )
+    if offsets is None:
+        os.makedirs(export_dir, exist_ok=True)
+        n_exported = 0
+    else:
+        offsets.write_parquet(export_dir)
+        n_exported = sized_read_parquet(export_dir).count()
+    manifest.mark_done(
+        -2,
+        {"n_exported": n_exported,
+         "seconds": round(time.perf_counter() - t0, 3)},
+    )
+    total["n_exported"] = n_exported
+    return total
+
+
 def compact_parts(out_dir: str, target_rows_per_file: int = 500_000) -> dict:
     """Merge each partition's chunk files into few large files (the
     small-file problem: every resumed chunk run appends a file per

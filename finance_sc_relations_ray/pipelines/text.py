@@ -1928,6 +1928,7 @@ def curate_from_winners_ds(
     num_buckets: int | None = None,
     on_degenerate: str = "star",
     method: str = "propagation",
+    keep_text: bool = False,
 ) -> "ray.data.Dataset":
     """Stage 2 of the resumable curation runner: merge per-part winner
     rows (h, doc_id, text, n_words) into GLOBAL winners (keep-min per
@@ -1957,7 +1958,7 @@ def curate_from_winners_ds(
         sf_dir, winners,
         jaccard_threshold=jaccard_threshold, num_perm=num_perm,
         bands=bands, max_iter=max_iter, num_buckets=num_buckets,
-        on_degenerate=on_degenerate, method=method,
+        on_degenerate=on_degenerate, method=method, keep_text=keep_text,
     )
 
 
@@ -2501,16 +2502,24 @@ def pack_token_offsets(
         .map_batches(counts, batch_format="pyarrow")
         .materialize()
     )
-    return _pack_offsets_from_counts(counted, seq_len, num_buckets)
+    return (
+        _pack_offsets_from_counts(counted, seq_len, num_buckets)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def _pack_offsets_from_counts(
     counted: "ray.data.Dataset", seq_len: int, num_buckets: int
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """The distributed exclusive-prefix-sum packing core over a
     MATERIALIZED (doc_id, n_tokens) Dataset — shared by
-    :func:`pack_token_offsets` (whole corpus) and
-    :func:`pretrain_export` (curated+decontaminated survivors)."""
+    :func:`pack_token_offsets` (whole corpus, driver-collected for the
+    gate) and :func:`pretrain_export` / the resumable
+    ``run.pretrain_export_partitioned`` (which WRITES the export
+    manifest — at corpus scale the per-doc offsets table is itself
+    corpus-sized and must never be driver-collected)."""
     lo = counted.min("doc_id")
     hi = counted.max("doc_id")
     span = max(1, (hi - lo) // num_buckets + 1)
@@ -2555,16 +2564,21 @@ def _pack_offsets_from_counts(
 
     from ..stages.joins import NO_FUSE_NUM_CPUS
 
-    out = (
+    return (
         bucketed.groupby("b")
         # whole-group semantics: a cumsum over a PARTIAL bucket would
         # drop earlier docs' tokens from the offset — num_cpus blocks
         # map-op fusion (stages/joins.py NO_FUSE_NUM_CPUS rationale)
         .map_groups(bucket_offsets, batch_format="pandas",
                     num_cpus=NO_FUSE_NUM_CPUS)
-        .to_pandas()
+        .map_batches(
+            lambda b: b.select(
+                ["doc_id", "n_tokens", "start_tok", "first_chunk",
+                 "n_chunks"]
+            ),
+            batch_format="pyarrow",
+        )
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ----------------------------------------- hash-based domain mixing -----
@@ -2772,15 +2786,44 @@ def pretrain_export(
     Output: (doc_id, n_tokens, start_tok, first_chunk, n_chunks) per
     exported document — the manifest a sequence-packing loader
     consumes."""
+    survivors = curate_documents_ds(
+        sf_dir, on_degenerate=on_degenerate, keep_text=True
+    )
+    out = _export_tail(
+        survivors, sf_dir, seq_len, bench_max_doc_id, n, num_buckets
+    )
+    if out is None:
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in (
+                    "doc_id", "n_tokens", "start_tok", "first_chunk",
+                    "n_chunks",
+                )
+            }
+        )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _export_tail(
+    survivors: "ray.data.Dataset",
+    sf_dir: str,
+    seq_len: int,
+    bench_max_doc_id: int,
+    n: int,
+    num_buckets: int | None,
+) -> "ray.data.Dataset | None":
+    """Decontaminate + pack over a (doc_id, text, n_words) survivor
+    Dataset — the export stages shared by the one-shot
+    :func:`pretrain_export` and the resumable
+    ``run.pretrain_export_partitioned``. Returns the lazy per-doc
+    offsets Dataset (corpus-sized at scale — callers write or, at gate
+    scale, collect), or None when nothing survives."""
     num_buckets = exchange_fanout(num_buckets, floor=32)
     import pyarrow.compute as pc
     import pyarrow.parquet as pq_
 
     from ..functions.textops import tokens_lower
-
-    survivors = curate_documents_ds(
-        sf_dir, on_degenerate=on_degenerate, keep_text=True
-    )
 
     # benchmark gram set: built ONCE from the (small) eval stand-in,
     # broadcast via ray.put (the decontaminate_documents kernel)
@@ -2837,13 +2880,5 @@ def pretrain_export(
         num_cpus=0.5,
     ).materialize()
     if counted.count() == 0:
-        return pd.DataFrame(
-            {
-                c: pd.Series([], dtype="int64")
-                for c in (
-                    "doc_id", "n_tokens", "start_tok", "first_chunk",
-                    "n_chunks",
-                )
-            }
-        )
+        return None
     return _pack_offsets_from_counts(counted, seq_len, num_buckets)

@@ -91,3 +91,60 @@ def test_fresh_run_matches_oracle_scale(ray_session, docs_sf_dir, tmp_path):
     assert r["parts_done"] == 4 and r["n_final"] > 0
     exp = curate_documents(docs_sf_dir)
     pd.testing.assert_frame_equal(_final_df(out), exp[["doc_id", "n_words"]])
+
+
+def test_pretrain_export_partitioned_matches_one_shot(
+    docs_sf_dir, tmp_path, ray_session
+):
+    """The resumable export (stages 1+2 = partitioned curation with
+    keep_text, stage 3 = decontaminate + pack written to export/) must
+    equal the one-shot pretrain_export row-for-row, resume at part
+    granularity, and never re-run a completed export stage."""
+    import pyarrow.dataset as pads
+
+    from finance_sc_relations_ray.pipelines.run import (
+        pretrain_export_partitioned,
+    )
+    from finance_sc_relations_ray.pipelines.text import pretrain_export
+
+    out = str(tmp_path / "export_out")
+
+    # interrupted: only the first stage-1 chunk runs; export deferred
+    partial = pretrain_export_partitioned(
+        docs_sf_dir, out, num_parts=4, parts_per_chunk=1, max_chunks=1,
+        on_degenerate="raise",
+    )
+    assert partial["parts_run"] == 1 and "n_exported" not in partial
+
+    # resume: stages complete, export written
+    done = pretrain_export_partitioned(
+        docs_sf_dir, out, num_parts=4, parts_per_chunk=1,
+        on_degenerate="raise",
+    )
+    assert done["parts_done"] == 4 and done["n_exported"] > 0
+
+    got = (
+        pads.dataset(os.path.join(out, "export"))
+        .to_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pretrain_export(docs_sf_dir, on_degenerate="raise")
+    pd.testing.assert_frame_equal(got, exp)
+
+    # idempotent re-run: nothing re-executes, export untouched
+    stats_before = sorted(
+        (f, os.stat(os.path.join(out, "export", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(out, "export"))
+    )
+    again = pretrain_export_partitioned(
+        docs_sf_dir, out, num_parts=4, parts_per_chunk=1,
+        on_degenerate="raise",
+    )
+    assert again["parts_run"] == 0 and again["n_exported"] == done["n_exported"]
+    stats_after = sorted(
+        (f, os.stat(os.path.join(out, "export", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(out, "export"))
+    )
+    assert stats_after == stats_before
