@@ -424,6 +424,9 @@ def run_scaling() -> dict:
         if (
             os.environ.get("GRAFT_SCALING_TASKSET", "1") == "1"
             and _shutil.which("taskset")
+            # pinning needs ncpu real CPUs to pin to — on a smaller
+            # host fall back to unpinned rather than erroring
+            and ncpu <= (os.cpu_count() or 1)
         ):
             # pin each level to exactly ncpu OS cores: on this
             # burst-capable host, an unpinned low level borrows idle
