@@ -777,7 +777,9 @@ def host_pagerank_state(sf_dir: str) -> pd.DataFrame:
     return merged.sort_values("domain").reset_index(drop=True)
 
 
-def crawl_frontier_stateful(sf_dir: str, k: int = 100) -> pd.DataFrame:
+def crawl_frontier_stateful(
+    sf_dir: str, k: int = 100, per_host_cap: int | None = None
+) -> pd.DataFrame:
     """The FULL delta-cost frontier composition: priorities computed
     from the two persisted artifacts alone — ``state_dir=`` (canonical
     url state) for staleness and ``ranks=`` (rank state) for
@@ -799,6 +801,7 @@ def crawl_frontier_stateful(sf_dir: str, k: int = 100) -> pd.DataFrame:
         links_path,
         now=None,
         k=k,
+        per_host_cap=per_host_cap,
         state_dir=url_state,
         ranks=read_rank_state(rank_state),
     )
