@@ -775,6 +775,175 @@ def _crawl1m_child() -> None:
     )
 
 
+def _docs_1m_dir(sf_dir: str, n_docs: int) -> str:
+    """Deterministic large documents fixture (cached): an sf-like dir
+    whose documents.parquet is a DIRECTORY of files. Texts cycle the
+    real sf documents with a planted dedup structure — per group
+    ``g = doc_id // 3``: variant 0 is base+" alpha{g}", variant 1 its
+    EXACT duplicate, variant 2 a NEAR duplicate (one extra token →
+    trigram Jaccard ≈ 0.94 > the 0.8 threshold) — so exact dedup and
+    the MinHash component pass both do real merge work (~2/3 of the
+    corpus collapses), langs stay mixed so the gate filters too."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    out = f"/tmp/fscr_docs/{os.path.basename(os.path.normpath(sf_dir))}-{n_docs}"
+    marker = os.path.join(out, "documents.parquet")
+    if os.path.isdir(marker) and os.listdir(marker):
+        return out
+    base = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet")
+    ).to_table(columns=["text", "lang"]).to_pandas()
+    btexts = base["text"].to_numpy()
+    blangs = base["lang"].to_numpy()
+    nb = len(base)
+    os.makedirs(marker + ".tmp", exist_ok=True)
+    n_files = 64
+    per = (n_docs + n_files - 1) // n_files
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()),
+         ("lang", pa.string()), ("source", pa.string()),
+         ("n_chars", pa.int64())]
+    )
+    for fi in range(n_files):
+        lo = fi * per
+        hi = min(n_docs, lo + per)
+        if lo >= hi:
+            break
+        ids = np.arange(lo, hi, dtype=np.int64)
+        g = ids // 3
+        v = ids % 3
+        # all three variants share the group's base text; a 20-token
+        # group-unique tail keeps CROSS-group Jaccard of same-base
+        # docs well under the 0.8 threshold (S/(S+40) ≤ 0.71 even for
+        # the longest ~50-shingle bases), so components stay bounded
+        # at the 3-doc group — without it every base's ~n/5000
+        # reuses chain into one giant component and the LSH candidate
+        # stream grows quadratically in the duplication factor
+        b0 = btexts[(g * 3) % nb]
+        tail = [
+            " ".join(f"g{int(gi)}t{j}" for j in range(20))
+            for gi in g
+        ]
+        texts = [
+            f"{base} {t}" if vi != 2 else f"{base} beta{int(gi)} {t}"
+            for base, t, vi, gi in zip(b0, tail, v, g)
+        ]
+        df = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": pd.Series(texts, dtype="object"),
+                "lang": blangs[(g * 3) % nb],
+                "source": np.char.add("src", (ids % 20).astype(str)),
+            }
+        )
+        df["n_chars"] = df["text"].str.len().astype(np.int64)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False).cast(schema),
+            os.path.join(marker + ".tmp", f"docs-{fi:04d}.parquet"),
+            row_group_size=8192,
+        )
+    os.replace(marker + ".tmp", marker)
+    return out
+
+
+def run_curate1m() -> dict:
+    """1M-document refresh of the composed TEXT path: the resumable
+    pretraining export (gate → exact dedup → MinHash components →
+    decontaminate → pack) over the planted-dup 1M fixture, with the
+    same bounded-memory / no-spill assertions as --crawl1m and a
+    no-op-rerun resume check."""
+    import shutil
+    import threading
+
+    import ray
+
+    sf_dir = _sf_dir()
+    ncpu = _num_cpus()
+    n_docs = int(os.environ.get("GRAFT_CURATE_DOCS", "1000000"))
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from finance_sc_relations_ray.pipelines.run import (
+        pretrain_export_partitioned,
+    )
+
+    fixture = _docs_1m_dir(sf_dir, n_docs)
+
+    store_total = int(ray.cluster_resources()["object_store_memory"])
+    peak_used = 0
+    stop = threading.Event()
+
+    def poll():
+        nonlocal peak_used
+        while not stop.is_set():
+            avail = ray.available_resources().get("object_store_memory", 0)
+            peak_used = max(peak_used, store_total - int(avail))
+            stop.wait(0.5)
+
+    out_dir = "/tmp/bench_curate1m"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    th = threading.Thread(target=poll, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    summary = pretrain_export_partitioned(
+        fixture, out_dir, num_parts=max(16, ncpu), parts_per_chunk=8,
+    )
+    full_sec = time.perf_counter() - t0
+    stop.set()
+    th.join(2)
+
+    spilled = 0
+    sess = "/tmp/ray/session_latest"
+    for root, _d, fs in os.walk(sess, followlinks=True):
+        if "spilled" in os.path.basename(root):
+            spilled += sum(
+                os.path.getsize(os.path.join(root, f)) for f in fs
+            )
+    assert spilled == 0, f"object store spilled {spilled} bytes at 1M docs"
+    assert peak_used < 0.9 * store_total, (
+        f"peak object store {peak_used / 1e9:.1f} GB >= 90% of store"
+    )
+    # the planted structure must actually collapse the corpus: exact
+    # dups (1/3) and near dups (1/3) both go — survivors well under
+    # half the gated input
+    assert summary["n_final"] < 0.5 * n_docs, summary
+
+    t0 = time.perf_counter()
+    again = pretrain_export_partitioned(
+        fixture, out_dir, num_parts=max(16, ncpu), parts_per_chunk=8,
+    )
+    noop_sec = time.perf_counter() - t0
+    assert again["parts_run"] == 0, again
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = {
+        "metric": "pretrain_export_1m",
+        "value": round(full_sec, 1),
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "n_curated": int(summary["n_final"]),
+        "n_exported": int(summary["n_exported"]),
+        "docs_per_sec": round(n_docs / full_sec, 1),
+        "peak_object_store_gb": round(peak_used / 1e9, 2),
+        "object_store_gb": round(store_total / 1e9, 2),
+        "spilled_bytes": spilled,
+        "noop_rerun_sec": round(noop_sec, 1),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--probe" in sys.argv:
         print(json.dumps(run_probe()))
@@ -784,5 +953,7 @@ if __name__ == "__main__":
         _crawl1m_child()
     elif "--crawl1m" in sys.argv:
         print(json.dumps(run_crawl1m()))
+    elif "--curate1m" in sys.argv:
+        print(json.dumps(run_curate1m()))
     else:
         print(json.dumps(run_bench()))
