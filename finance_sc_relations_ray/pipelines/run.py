@@ -483,7 +483,11 @@ def pretrain_export_partitioned(
         num_parts=num_parts, parts_per_chunk=parts_per_chunk,
         max_chunks=max_chunks, keep_text=True, **curate_kwargs,
     )
-    if total.get("parts_done", 0) < num_parts or "n_final" not in total:
+    # stage 2 ran iff n_final is present (curate_partitioned CLAMPS
+    # num_parts to the input file count, so comparing parts_done
+    # against the caller's num_parts would defer the export forever on
+    # corpora with fewer files than requested parts)
+    if "n_final" not in total:
         return total  # interrupted in stage 1: export deferred
 
     manifest = Manifest(out_dir)

@@ -148,3 +148,38 @@ def test_pretrain_export_partitioned_matches_one_shot(
         for f in os.listdir(os.path.join(out, "export"))
     )
     assert stats_after == stats_before
+
+
+def test_pretrain_export_partitioned_single_file_corpus(
+    tmp_path, ray_session
+):
+    """Regression: curate_partitioned clamps num_parts to the input
+    FILE count, so a single-file corpus must still reach the export
+    stage (the old parts_done < num_parts check deferred it forever)."""
+    import pyarrow.dataset as pads
+
+    from finance_sc_relations_ray.pipelines.run import (
+        pretrain_export_partitioned,
+    )
+    from finance_sc_relations_ray.pipelines.text import pretrain_export
+
+    d = tmp_path / "sf_single"
+    d.mkdir()
+    pq.write_table(
+        pq.read_table(os.path.join(SF, "documents.parquet")),
+        str(d / "documents.parquet"),
+    )
+    out = str(tmp_path / "out")
+    s = pretrain_export_partitioned(
+        str(d), out, num_parts=16, on_degenerate="raise"
+    )
+    assert s["parts_done"] == 1 and s["n_exported"] > 0, s
+    got = (
+        pads.dataset(os.path.join(out, "export"))
+        .to_table()
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = pretrain_export(str(d), on_degenerate="raise")
+    pd.testing.assert_frame_equal(got, exp)
