@@ -434,13 +434,19 @@ def update_url_state(
     # delta partials, materialized (delta-bounded) — consumed twice:
     # the touched-shard probe and the merge union
     delta = _url_state_partials(delta_pages_path, n_shards).materialize()
-    touched = sorted(
-        delta.groupby("shard")
-        .count()
-        .to_pandas()["shard"]
-        .astype(int)
-        .tolist()
-    )
+    # an EMPTY delta (no rows at all) loses its schema through the
+    # groupby and KeyErrors — short-circuit to "no shards touched"
+    # (every shard carries forward, ranks/state unchanged)
+    if delta.count() == 0:
+        touched = []
+    else:
+        touched = sorted(
+            delta.groupby("shard")
+            .count()
+            .to_pandas()["shard"]
+            .astype(int)
+            .tolist()
+        )
     touched_set = set(touched)
 
     tmp = out_dir + ".tmp"

@@ -210,3 +210,24 @@ def test_stateful_frontier_and_pagerank_state_queries(ray_session):
     st = L.crawl_frontier_stateful(sf, k=50)
     base = L.crawl_frontier(links, now=None, k=50)
     pd.testing.assert_frame_equal(st, base)
+
+
+def test_update_with_linkless_delta_is_noop(tmp_path, ray_session):
+    """Regression: a delta crawl whose pages carry NO links (empty edge
+    partials) must carry every shard forward unchanged instead of
+    KeyError-ing on the schema-less empty Dataset; same guard covers
+    web.update_url_state's empty-delta path."""
+    base = _mk_pages(
+        tmp_path, [(_u(A, 1), T0, [B]), (_u(B, 2), T0, [A])],
+        name="base.parquet",
+    )
+    delta = _mk_pages(
+        tmp_path, [(_u(A, 9), dt.datetime(2024, 3, 1), [])],
+        name="delta.parquet",
+    )
+    s0 = str(tmp_path / "s0")
+    s1 = str(tmp_path / "s1")
+    L.build_rank_state(base, s0, n_shards=4)
+    L.update_rank_state(s0, delta, s1)
+    pd.testing.assert_frame_equal(_ranks_df(s0), _ranks_df(s1))
+    pd.testing.assert_frame_equal(_edges_df(s0), _edges_df(s1))
